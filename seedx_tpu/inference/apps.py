@@ -1,0 +1,140 @@
+"""End-to-end inference apps mirroring the 7 reference eval scripts.
+
+Each function is the library-form of one reference script (the judged public
+surface, BASELINE.json "Public entry points mirror src/inference"):
+
+  comprehend()        <- src/inference/eval_img2text_seed_x_i.py (+ _seed_x.py
+                         via prompt_style="pretrain")
+  ground()            <- the detection half of eval_img2text_seed_x_i.py
+  text_to_image()     <- eval_text2img_seed_x_i.py / eval_text2img_seed_x.py
+  edit_image()        <- eval_img2edit_seed_x_edit.py
+  reconstruct()       <- eval_seed_x_detokenizer.py
+  reconstruct_with_condition() <- eval_seed_x_detokenizer_with_condition.py
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from seedx_tpu.inference.runtime import SeedXRuntime
+from seedx_tpu.text import prompts
+from seedx_tpu.text.vocab import DEFAULT_VOCAB
+
+
+def _prepare_image_prompt(rt: SeedXRuntime, image, instruction: str,
+                          prompt_style: str = "instruct"):
+    """Anyres-encode an image and build the token stream + masks
+    (reference: eval_img2text_seed_x_i.py:132-165)."""
+    embeds, patch_pos = rt.encode_image_anyres(image)
+    n_patches = embeds.shape[0]
+    image_tokens = prompts.multi_patch_image_string(
+        n_patches, rt.agent_cfg.num_img_in_tokens)
+    if prompt_style == "instruct":
+        text = prompts.INSTRUCTION_PROMPT.format(
+            instruction=image_tokens + instruction)
+    else:  # pretrain QA (reference: eval_img2text_seed_x.py)
+        text = image_tokens + prompts.PRETRAIN_QA_PROMPT.format(
+            question=instruction)
+    input_ids = [rt.tokenizer.bos_token_id] + rt.tokenizer.encode(text)
+    cmp_mask = prompts.cmp_mask_from_ids(input_ids)
+    embeds_cmp_mask = np.ones((n_patches,), bool)
+    return input_ids, cmp_mask, rt.pool_vit(embeds), embeds_cmp_mask, patch_pos
+
+
+def comprehend(rt: SeedXRuntime, image, question: str,
+               prompt_style: str = "instruct",
+               max_new_tokens: int = 512) -> Dict[str, Any]:
+    """Image + question -> answer text (and any generated image features)."""
+    input_ids, cmp_mask, embeds, ecm, ppos = _prepare_image_prompt(
+        rt, image, question, prompt_style)
+    out = rt.generate(input_ids, image_embeds=embeds, embeds_cmp_mask=ecm,
+                      ids_cmp_mask=cmp_mask, patch_positions=ppos,
+                      max_new_tokens=max_new_tokens)
+    out["clean_text"] = prompts.strip_markup(out["text"])
+    return out
+
+
+def ground(rt: SeedXRuntime, image, question: str,
+           max_new_tokens: int = 512) -> Dict[str, Any]:
+    """Comprehension + bounding-box extraction
+    (reference: eval_img2text_seed_x_i.py:182-231)."""
+    out = comprehend(rt, image, question, max_new_tokens=max_new_tokens)
+    boxes = prompts.extract_boxes(out["text"])
+    out["boxes"] = boxes
+    if boxes is not None:
+        w, h = image.size
+        out["boxes_pixels"] = prompts.boxes_to_pixels(boxes, w, h)
+    return out
+
+
+def text_to_image(rt: SeedXRuntime, caption: str, seed: int = 42,
+                  num_inference_steps: int = 50,
+                  max_new_tokens: int = 120) -> Dict[str, Any]:
+    """Caption -> generated image (reference: eval_text2img_seed_x_i.py:85-94).
+
+    The LLM is prompted to emit an image span; its 64 hidden states drive the
+    SDXL adapter."""
+    text = prompts.generation_prompt(caption)
+    input_ids = [rt.tokenizer.bos_token_id] + rt.tokenizer.encode(text)
+    out = rt.generate(input_ids, max_new_tokens=max_new_tokens)
+    images = None
+    if out["has_img_output"] and rt.adapter is not None:
+        images = rt.adapter.generate(out["img_gen_feat"], seed=seed,
+                                     num_inference_steps=num_inference_steps)
+    out["images"] = images
+    return out
+
+
+def edit_image(rt: SeedXRuntime, image, instruction: str, seed: int = 42,
+               num_inference_steps: int = 50,
+               max_new_tokens: int = 120) -> Dict[str, Any]:
+    """Instruction-guided editing (reference: eval_img2edit_seed_x_edit.py):
+    source image enters BOTH the LLM (comprehension splice) and the SDXL
+    UNet (condition latents)."""
+    input_ids, cmp_mask, embeds, ecm, ppos = _prepare_image_prompt(
+        rt, image, instruction)
+    out = rt.generate(input_ids, image_embeds=embeds, embeds_cmp_mask=ecm,
+                      ids_cmp_mask=cmp_mask, patch_positions=ppos,
+                      max_new_tokens=max_new_tokens)
+    images = None
+    if out["has_img_output"] and rt.adapter is not None:
+        sampler = rt.adapter.cfg.sampler
+        from seedx_tpu.data.transforms import get_transform
+
+        latent_tf = get_transform("sd", keep_ratio=False,
+                                  image_size=sampler.height)
+        latent_image = jnp.asarray(latent_tf(image))[None]
+        images = rt.adapter.generate(out["img_gen_feat"],
+                                     latent_image=latent_image, seed=seed,
+                                     num_inference_steps=num_inference_steps)
+    out["images"] = images
+    return out
+
+
+def reconstruct(rt: SeedXRuntime, image, seed: int = 42,
+                num_inference_steps: int = 50) -> np.ndarray:
+    """ViT features -> SDXL directly, no LLM — detokenizer reconstruction
+    (reference: eval_seed_x_detokenizer.py)."""
+    assert rt.adapter is not None
+    embeds = rt.pool_vit(rt.encode_image_single(image))
+    return rt.adapter.generate(embeds, seed=seed,
+                               num_inference_steps=num_inference_steps)
+
+
+def reconstruct_with_condition(rt: SeedXRuntime, image, condition_image,
+                               seed: int = 42,
+                               num_inference_steps: int = 50) -> np.ndarray:
+    """Reconstruction with a condition image through the edit UNet path
+    (reference: eval_seed_x_detokenizer_with_condition.py)."""
+    assert rt.adapter is not None
+    embeds = rt.pool_vit(rt.encode_image_single(image))
+    sampler = rt.adapter.cfg.sampler
+    from seedx_tpu.data.transforms import get_transform
+
+    latent_tf = get_transform("sd", keep_ratio=False, image_size=sampler.height)
+    latent_image = jnp.asarray(latent_tf(condition_image))[None]
+    return rt.adapter.generate(embeds, latent_image=latent_image, seed=seed,
+                               num_inference_steps=num_inference_steps)

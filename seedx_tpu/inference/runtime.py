@@ -1,0 +1,186 @@
+"""SeedXRuntime — everything the 7 reference inference scripts construct,
+bundled once.
+
+The reference scripts each rebuild tokenizer / transforms / ViT / LLM /
+agent / SDXL adapter from YAML (reference: src/inference/eval_*.py, e.g.
+eval_img2text_seed_x_i.py:66-117).  Here one runtime object owns:
+
+  * tokenizer (+ multimodal vocab),
+  * image transform + anyres tiling config,
+  * ViT visual encoder (flax) with params,
+  * ContinuousLVLM agent with params,
+  * optional SDXL adapter (detokenizer resampler + UNet + VAE).
+
+``SeedXRuntime.debug()`` builds the tiny random stack (the analogue of the
+reference DEBUG_FLAG mode, peft_models.py:38-47) so every app runs end-to-end
+without the released 17B weights; ``from_checkpoints(...)`` loads converted
+weights (seedx_tpu/utils/weights.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seedx_tpu.data.anyres import (grid_pinpoints_from_strings,
+                                   process_anyres_image)
+from seedx_tpu.data.transforms import get_transform
+from seedx_tpu.models.agent import AgentConfig, ContinuousLVLM
+from seedx_tpu.models.generation import GenerationConfig, generate
+from seedx_tpu.models.llama import LlamaConfig, llama2_13b, llama_debug
+from seedx_tpu.models.vit import (ViTConfig, VisionTransformer, qwen_vitg_448,
+                                  vit_downsample, vit_tiny_debug)
+from seedx_tpu.text.tokenizer import load_tokenizer
+from seedx_tpu.text.vocab import DEFAULT_VOCAB
+
+DEFAULT_RESOLUTION_GRIDS = ("1x1", "1x2", "1x3", "2x1", "3x1", "1x4", "4x1",
+                            "2x2")  # eval_img2text_seed_x_i.py:57
+
+
+@dataclasses.dataclass
+class SeedXRuntime:
+    tokenizer: Any
+    vit_cfg: ViTConfig
+    vit: VisionTransformer
+    vit_params: Any
+    agent_cfg: AgentConfig
+    agent: ContinuousLVLM
+    agent_params: Any
+    adapter: Optional[Any] = None            # SDXLAdapter
+    base_resolution: int = 448
+    resolution_grids: Sequence[str] = DEFAULT_RESOLUTION_GRIDS
+    vit_down: bool = True
+
+    # ---- constructors ------------------------------------------------------
+
+    @classmethod
+    def debug(cls, seed: int = 0, with_adapter: bool = False,
+              image_size: int = 56) -> "SeedXRuntime":
+        """Tiny random stack; runs everywhere (tests, demos, CI)."""
+        rng = jax.random.PRNGKey(seed)
+        vit_cfg = vit_tiny_debug(image_size=image_size, output_dim=64)
+        vit = VisionTransformer(vit_cfg, remat=False)
+        n_tok = (image_size // vit_cfg.patch_size) ** 2
+        vit_params = vit.init(
+            rng, jnp.zeros((1, image_size, image_size, 3)))["params"]
+
+        llm_cfg = llama_debug(hidden_size=128, intermediate_size=256,
+                              num_layers=2, num_heads=4, num_kv_heads=4)
+        # tiny ViT emits 4 queries; disable vit_down and match token counts
+        agent_cfg = AgentConfig(llm=llm_cfg, vit_dim=64, resampler_heads=4,
+                                num_img_in_tokens=64,
+                                num_img_out_tokens=vit_cfg.n_queries,
+                                vit_down=False)
+        agent = ContinuousLVLM(agent_cfg)
+        B, S, N = 1, 80, 1
+        ids = jnp.zeros((B, S), jnp.int32)
+        attn = jnp.ones((B, S), bool)
+        img = jnp.zeros((N, vit_cfg.n_queries, 64), jnp.bfloat16)
+        fmask = jnp.zeros((N,), bool)
+        idsm = jnp.zeros((B, S), bool).at[0, 1:1 + agent_cfg.num_img_out_tokens].set(True)
+        agent_params = agent.init(
+            rng, ids, attn, jnp.where(attn, ids, -100), img, fmask,
+            fmask, idsm, idsm, jnp.full((N, 2), 0.5),
+            method="init_all")["params"]
+
+        adapter = None
+        if with_adapter:
+            from seedx_tpu.models.adapter import AdapterConfig, SDXLAdapter
+            from seedx_tpu.models.detokenizer import DetokenizerConfig
+            from seedx_tpu.models.sdxl.pipeline import SamplerConfig
+            from seedx_tpu.models.sdxl.unet import (UNet2DCondition,
+                                                    sdxl_debug_unet)
+            from seedx_tpu.models.sdxl.vae import (VAEDecoder, VAEEncoder,
+                                                   vae_debug)
+
+            ucfg = sdxl_debug_unet(in_channels=8)
+            rcfg = DetokenizerConfig(dim=64, depth=1, dim_head=16, heads=4,
+                                     num_queries=8, embedding_dim=64,
+                                     output1_dim=24,
+                                     output2_dim=ucfg.projection_class_embeddings_input_dim
+                                     - 6 * ucfg.addition_time_embed_dim,
+                                     ff_mult=2)
+            rcfg = dataclasses.replace(
+                rcfg, output1_dim=ucfg.cross_attention_dim - rcfg.output2_dim)
+            vcfg = vae_debug()
+            acfg = AdapterConfig(unet=ucfg, resampler=rcfg,
+                                 sampler=SamplerConfig(
+                                     height=64, width=64,
+                                     num_inference_steps=3,
+                                     vae_scale=2),
+                                 vit_down=False, with_latent_image=True)
+            unet = UNet2DCondition(ucfg)
+            lat = jnp.zeros((1, 32, 32, ucfg.in_channels))
+            unet_params = unet.init(
+                rng, lat, jnp.array([1.0]),
+                jnp.zeros((1, 8, ucfg.cross_attention_dim)),
+                jnp.zeros((1, rcfg.output2_dim)), jnp.zeros((1, 6)))["params"]
+            from seedx_tpu.models.detokenizer import ResamplerXL
+
+            res = ResamplerXL(rcfg)
+            res_params = res.init(
+                rng, jnp.zeros((1, 4, rcfg.embedding_dim)))["params"]
+            dec = VAEDecoder(vcfg)
+            dec_params = dec.init(rng, jnp.zeros((1, 32, 32, 4)))["params"]
+            enc = VAEEncoder(vcfg)
+            enc_params = enc.init(rng, jnp.zeros((1, 64, 64, 3)))["params"]
+            adapter = SDXLAdapter(acfg, unet_params, res_params, dec_params,
+                                  enc_params, visual_encoder=vit,
+                                  visual_encoder_params=vit_params,
+                                  vae_cfg=vcfg)
+
+        return cls(tokenizer=load_tokenizer(), vit_cfg=vit_cfg, vit=vit,
+                   vit_params=vit_params, agent_cfg=agent_cfg, agent=agent,
+                   agent_params=agent_params, adapter=adapter,
+                   base_resolution=image_size, vit_down=False)
+
+    # ---- vision ------------------------------------------------------------
+
+    def image_transform(self):
+        return get_transform("clip", keep_ratio=False,
+                             image_size=self.base_resolution)
+
+    def grid_pinpoints(self):
+        return grid_pinpoints_from_strings(self.resolution_grids,
+                                           self.base_resolution)
+
+    def encode_image_anyres(self, image):
+        """PIL image -> (vit_embeds [n_tiles+1, T, D], patch_pos
+        [n_tiles+1, 2]) (reference: eval_img2text_seed_x_i.py:132-141)."""
+        tiles, patch_pos = process_anyres_image(
+            image, self.image_transform(), self.grid_pinpoints(),
+            self.base_resolution)
+        embeds = self.vit.apply({"params": self.vit_params},
+                                jnp.asarray(tiles))
+        return embeds, jnp.asarray(patch_pos)
+
+    def encode_image_single(self, image):
+        """One 448px crop -> [1, T, D]."""
+        arr = self.image_transform()(image)
+        return self.vit.apply({"params": self.vit_params},
+                              jnp.asarray(arr)[None])
+
+    def pool_vit(self, embeds):
+        return vit_downsample(embeds) if self.vit_down else embeds
+
+    # ---- language ----------------------------------------------------------
+
+    def generate(self, input_ids, image_embeds=None, embeds_cmp_mask=None,
+                 ids_cmp_mask=None, patch_positions=None,
+                 max_new_tokens: int = 512, **kw):
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            num_img_gen_tokens=self.agent_cfg.num_img_out_tokens,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id, **kw)
+        return generate(self.agent, {"params": self.agent_params},
+                        self.tokenizer, input_ids,
+                        image_embeds=image_embeds,
+                        embeds_cmp_mask=embeds_cmp_mask,
+                        ids_cmp_mask=ids_cmp_mask,
+                        patch_positions=patch_positions,
+                        gen_cfg=gen_cfg)

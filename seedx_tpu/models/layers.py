@@ -1,0 +1,214 @@
+"""Shared flax building blocks: partitioned Dense, LoRA Dense, torch-layout
+multi-head attention for the resamplers, layer norm with logical sharding.
+
+LoRA here replaces the reference's vendored DeepSpeed-patched PEFT fork
+(reference: proj/peft/, src/models/mllm/peft_models.py:27-106).  Under SPMD
+jit there is no ZeRO-3 gather problem to patch around: LoRA factors are just
+extra leaves in the parameter pytree, and "trainable vs frozen" is an optax
+mask over path names (see seedx_tpu/train/partition.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax.lax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Initializer = Callable[..., Any]
+
+default_init = nn.initializers.truncated_normal(stddev=0.02)
+
+
+def _part(init: Initializer, names: Tuple[Optional[str], ...]) -> Initializer:
+    return nn.with_logical_partitioning(init, names)
+
+
+class PDense(nn.Module):
+    """Dense with logical partitioning names on the kernel (and bias)."""
+
+    features: int
+    kernel_axes: Tuple[Optional[str], Optional[str]]
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    kernel_init: Initializer = default_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            _part(self.kernel_init, self.kernel_axes),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _part(nn.initializers.zeros_init(), (self.kernel_axes[1],)),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class LoRADense(nn.Module):
+    """Dense with an optional low-rank trainable delta.
+
+    Matches the reference LoRA semantics (r=32, alpha=32, dropout on the LoRA
+    input only; configs/clm_models/llm_seed_x_lora.yaml:6-25):
+      ``y = x @ W + scale * dropout(x) @ A @ B``, scale = alpha / r.
+    ``A`` is init'd gaussian, ``B`` zeros, so the delta starts at 0.
+    """
+
+    features: int
+    kernel_axes: Tuple[Optional[str], Optional[str]]
+    use_bias: bool = False
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.0
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    kernel_init: Initializer = default_init
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel",
+            _part(self.kernel_init, self.kernel_axes),
+            (x.shape[-1], self.features),
+            self.param_dtype,
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.lora_rank > 0:
+            lora_a = self.param(
+                "lora_a",
+                _part(nn.initializers.he_uniform(), (self.kernel_axes[0], None)),
+                (x.shape[-1], self.lora_rank),
+                self.param_dtype,
+            )
+            lora_b = self.param(
+                "lora_b",
+                _part(nn.initializers.zeros_init(), (None, self.kernel_axes[1])),
+                (self.lora_rank, self.features),
+                self.param_dtype,
+            )
+            scale = self.lora_alpha / self.lora_rank
+            xd = x
+            # Dropout is rng-driven: training passes a "dropout" rng, inference
+            # doesn't — no deterministic flag threads through the call tree.
+            if self.lora_dropout > 0.0 and self.has_rng("dropout"):
+                rate = self.lora_dropout
+                keep = jax.random.bernoulli(
+                    self.make_rng("dropout"), 1.0 - rate, xd.shape)
+                xd = jnp.where(keep, xd / (1.0 - rate), 0.0).astype(xd.dtype)
+            delta = jnp.dot(
+                jnp.dot(xd.astype(self.dtype), lora_a.astype(self.dtype)),
+                lora_b.astype(self.dtype),
+            )
+            y = y + scale * delta
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _part(nn.initializers.zeros_init(), (self.kernel_axes[1],)),
+                (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class PLayerNorm(nn.Module):
+    """LayerNorm (fp32 statistics) with partitioned scale/bias."""
+
+    epsilon: float = 1e-6
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        scale = self.param(
+            "scale", _part(nn.initializers.ones_init(), (self.axis_name,)),
+            (dim,), self.param_dtype)
+        bias = self.param(
+            "bias", _part(nn.initializers.zeros_init(), (self.axis_name,)),
+            (dim,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        normed = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return normed.astype(self.dtype) * scale.astype(self.dtype) + bias.astype(self.dtype)
+
+
+class RMSNorm(nn.Module):
+    """LLaMA RMSNorm (reference: modeling_llama_xformer.py:75-94)."""
+
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        scale = self.param(
+            "scale", _part(nn.initializers.ones_init(), (self.axis_name,)),
+            (dim,), self.param_dtype)
+        from seedx_tpu.ops.norms import rms_norm
+
+        return rms_norm(x.astype(self.dtype), scale.astype(self.dtype), self.epsilon)
+
+
+class TorchMHA(nn.Module):
+    """torch ``nn.MultiheadAttention``-equivalent cross attention.
+
+    Used by the qwen-style Resampler (reference: qwen_visual.py:121,145).
+    Separate q/k/v kernels with biases + out projection; fp32 softmax.
+    """
+
+    num_heads: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+        # q: [batch, nq, dim]; k/v: [batch, nkv, dim]
+        dim = q.shape[-1]
+        head_dim = dim // self.num_heads
+
+        def proj(name, x):
+            return PDense(dim, kernel_axes=("embed", "heads"), dtype=self.dtype,
+                          param_dtype=self.param_dtype, name=name)(x)
+
+        qp = proj("q_proj", q).reshape(*q.shape[:-1], self.num_heads, head_dim)
+        kp = proj("k_proj", k).reshape(*k.shape[:-1], self.num_heads, head_dim)
+        vp = proj("v_proj", v).reshape(*v.shape[:-1], self.num_heads, head_dim)
+
+        from seedx_tpu.ops.attention import dot_product_attention
+
+        out = dot_product_attention(qp, kp, vp, impl="xla")
+        out = out.reshape(*q.shape[:-1], dim)
+        return PDense(dim, kernel_axes=("heads", "embed"), dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="out_proj")(out)
+
+
+class MLP(nn.Module):
+    """ViT-style MLP: c_fc -> GELU -> c_proj (reference: qwen_visual.py:253-255)."""
+
+    hidden: int
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        h = PDense(self.hidden, kernel_axes=("embed", "mlp"), dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="c_fc")(x)
+        h = nn.gelu(h, approximate=False)
+        return PDense(dim, kernel_axes=("mlp", "embed"), dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="c_proj")(h)

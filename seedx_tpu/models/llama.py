@@ -1,0 +1,274 @@
+"""LLaMA2 causal LM backbone, TPU-native.
+
+Capability parity with the reference's custom LLaMA copy
+(reference: src/models/mllm/modeling_llama_xformer.py): RoPE, RMSNorm, SwiGLU
+MLP, causal attention, the *dual input contract* (token ids AND a full
+``inputs_embeds`` stream with image embeddings spliced in,
+modeling_llama_xformer.py:496-498,748-780), per-block gradient checkpointing,
+and LoRA on all seven projection matrices
+(configs/clm_models/llm_seed_x_lora.yaml:16-23).
+
+TPU-first design:
+  * blocks under ``nn.scan`` (+ optional ``nn.remat``) — one compiled block,
+    params stacked on a leading ``layers`` axis,
+  * Pallas flash attention on the training/prefill path (seedx_tpu/ops),
+  * a *preallocated* KV cache threaded functionally through the scan — the
+    HF python ``generate`` loop is replaced by a jitted prefill + ``lax.scan``
+    decode (see seedx_tpu/models/generation.py),
+  * parameters carry logical sharding axes; FSDP/TP layouts come from
+    seedx_tpu/parallel rules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from seedx_tpu.models.layers import LoRADense, PDense, RMSNorm, default_init
+from seedx_tpu.ops.attention import dot_product_attention
+from seedx_tpu.ops.rope import apply_rope, rope_cos_sin
+
+IGNORE_INDEX = -100  # label value excluded from the LM loss (HF convention)
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32330  # 32000 + 330 multimodal tokens (llm_seed_x_lora.yaml:25)
+    hidden_size: int = 5120
+    intermediate_size: int = 13824
+    num_layers: int = 40
+    num_heads: int = 40
+    num_kv_heads: int = 40
+    rope_theta: float = 10000.0
+    rms_eps: float = 1e-5
+    max_position_embeddings: int = 2048
+    lora_rank: int = 0
+    lora_alpha: float = 32.0
+    lora_dropout: float = 0.05
+    attention_impl: str = "auto"
+    remat: bool = True
+    scan_layers: bool = True
+    dtype: Any = jnp.bfloat16
+    param_dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+def llama2_13b(**overrides) -> LlamaConfig:
+    """SEED-X backbone: LLaMA2-13B with the 32330-token multimodal vocab."""
+    return LlamaConfig(**overrides)
+
+
+def llama_debug(**overrides) -> LlamaConfig:
+    """Tiny random model, the analogue of the reference DEBUG_FLAG path
+    (reference: src/models/mllm/peft_models.py:38-47)."""
+    kw = dict(vocab_size=32330, hidden_size=256, intermediate_size=512,
+              num_layers=2, num_heads=4, num_kv_heads=4,
+              max_position_embeddings=2048)
+    kw.update(overrides)
+    return LlamaConfig(**kw)
+
+
+# KV cache: per-layer stacked (k, v) of shape [layers, batch, max_len, kv_heads, head_dim].
+KVCache = Tuple[jnp.ndarray, jnp.ndarray]
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=None) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, x, layer_cache, cos, sin, kv_valid, cache_index):
+        """One decoder layer.
+
+        Args:
+          x: [batch, seq, hidden].
+          layer_cache: (k, v) [batch, max_len, kv_heads, head_dim] or None.
+          cos/sin: rope tables [batch, seq, head_dim].
+          kv_valid: [batch, kv_len] bool or None.
+          cache_index: scalar write offset into the cache (0 for no-cache).
+        """
+        cfg = self.cfg
+        b, s, _ = x.shape
+
+        def dense(name, features, in_axis, out_axis):
+            return LoRADense(
+                features, kernel_axes=(in_axis, out_axis), use_bias=False,
+                lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
+                lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=name)
+
+        h = RMSNorm(epsilon=cfg.rms_eps, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name="input_layernorm")(x)
+
+        q = dense("q_proj", cfg.num_heads * cfg.head_dim, "embed", "heads")(h)
+        k = dense("k_proj", cfg.num_kv_heads * cfg.head_dim, "embed", "heads")(h)
+        v = dense("v_proj", cfg.num_kv_heads * cfg.head_dim, "embed", "heads")(h)
+        q = q.reshape(b, s, cfg.num_heads, cfg.head_dim)
+        k = k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+        v = v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        new_cache = None
+        if layer_cache is not None:
+            ck, cv = layer_cache
+            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
+                                              (0, cache_index, 0, 0))
+            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
+                                              (0, cache_index, 0, 0))
+            new_cache = (ck, cv)
+            attn = dot_product_attention(
+                q, ck, cv, kv_valid=kv_valid, causal=s > 1,
+                q_offset=cache_index if s > 1 else None,
+                impl="xla" if s == 1 else cfg.attention_impl)
+        else:
+            attn = dot_product_attention(
+                q, k, v, kv_valid=kv_valid, causal=True,
+                impl=cfg.attention_impl)
+
+        attn = attn.reshape(b, s, cfg.num_heads * cfg.head_dim)
+        attn = dense("o_proj", cfg.hidden_size, "heads", "embed")(attn)
+        x = x + attn
+
+        h = RMSNorm(epsilon=cfg.rms_eps, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype,
+                    name="post_attention_layernorm")(x)
+        gate = dense("gate_proj", cfg.intermediate_size, "embed", "mlp")(h)
+        up = dense("up_proj", cfg.intermediate_size, "embed", "mlp")(h)
+        down = dense("down_proj", cfg.hidden_size, "mlp", "embed")(
+            nn.silu(gate) * up)
+        return x + down, new_cache
+
+
+class _ScannedBlock(nn.Module):
+    """Adapter giving LlamaBlock a scan-friendly (carry, per-layer) signature."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, carry, layer_cache):
+        x, cos, sin, kv_valid, cache_index = carry
+        x, new_cache = LlamaBlock(self.cfg, name="layer")(
+            x, layer_cache, cos, sin, kv_valid, cache_index)
+        return (x, cos, sin, kv_valid, cache_index), new_cache
+
+
+class Embedder(nn.Module):
+    """Token-embedding table (resized multimodal vocab, 32330 rows —
+    the reference mean-inits the 330 new rows at conversion time,
+    peft_models.py:60-84; our weight converter does the same)."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        table = self.param(
+            "embedding",
+            nn.with_logical_partitioning(default_init, ("vocab", "embed")),
+            (cfg.vocab_size, cfg.hidden_size), cfg.param_dtype)
+        return jnp.take(table, input_ids, axis=0).astype(cfg.dtype)
+
+
+class LlamaModel(nn.Module):
+    """Decoder trunk: N blocks + final norm (embeddings live in
+    LlamaForCausalLM so callers can splice image embeddings in between)."""
+
+    cfg: LlamaConfig
+
+    @nn.compact
+    def __call__(self, inputs_embeds, positions, kv_valid=None, cache=None,
+                 cache_index=0):
+        """Returns (hidden_states, new_cache)."""
+        cfg = self.cfg
+        x = inputs_embeds.astype(cfg.dtype)
+        cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+
+        if cfg.scan_layers:
+            block = _ScannedBlock
+            if cfg.remat:
+                block = nn.remat(block, prevent_cse=False)
+            carry = (x, cos, sin, kv_valid, jnp.asarray(cache_index, jnp.int32))
+            carry, new_cache = nn.scan(
+                block,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=0,
+                out_axes=0,
+                length=cfg.num_layers,
+                metadata_params={nn.PARTITION_NAME: "layers"},
+            )(cfg, name="layers")(carry, cache)
+            x = carry[0]
+        else:
+            new_layers = []
+            for i in range(cfg.num_layers):
+                layer_cache = None if cache is None else jax.tree.map(
+                    lambda c: c[i], cache)
+                x, nc = LlamaBlock(cfg, name=f"layer_{i}")(
+                    x, layer_cache, cos, sin, kv_valid, cache_index)
+                new_layers.append(nc)
+            new_cache = None if cache is None else jax.tree.map(
+                lambda *cs: jnp.stack(cs), *new_layers)
+
+        x = RMSNorm(epsilon=cfg.rms_eps, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name="norm")(x)
+        return x, new_cache
+
+
+class LlamaForCausalLM(nn.Module):
+    """Trunk + LM head.  ``__call__`` mirrors the reference dual-input
+    contract: callers embed ids themselves (via ``.embed``), splice image
+    embeddings in, and pass the result here."""
+
+    cfg: LlamaConfig
+
+    def setup(self):
+        self.embed_tokens = Embedder(self.cfg)
+        self.model = LlamaModel(self.cfg)
+        self.lm_head = PDense(
+            self.cfg.vocab_size, kernel_axes=("embed", "vocab"), use_bias=False,
+            dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype)
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def init_all(self, input_ids, positions, kv_valid=None):
+        """Init helper touching every submodule (use as init method)."""
+        return self(self.embed(input_ids), positions, kv_valid)
+
+    def __call__(self, inputs_embeds, positions, kv_valid=None, cache=None,
+                 cache_index=0):
+        """Returns (logits, last_hidden_state, new_cache)."""
+        hidden, new_cache = self.model(
+            inputs_embeds, positions, kv_valid=kv_valid, cache=cache,
+            cache_index=cache_index)
+        logits = self.lm_head(hidden)
+        return logits, hidden, new_cache
+
+
+def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Shifted cross-entropy ignoring IGNORE_INDEX
+    (reference: modeling_llama_xformer.py:708-729)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    total = jnp.sum(jnp.where(valid, -token_ll, 0.0))
+    count = jnp.maximum(jnp.sum(valid), 1)
+    return total / count

@@ -1,0 +1,125 @@
+"""Attention dispatch: XLA reference path + Pallas flash path.
+
+Replaces xformers ``memory_efficient_attention`` from the reference LLaMA
+backbone (reference: src/models/mllm/modeling_llama_xformer.py:24,225-237).
+
+Layout convention everywhere: ``[batch, seq, heads, head_dim]``.
+
+``impl``:
+  * ``"xla"``   — einsum + fp32 softmax; XLA fuses and tiles this well and it
+    runs on any backend (used by tests on the CPU mesh).
+  * ``"flash"`` — Pallas blockwise flash-attention kernel (TPU only); exact,
+    O(seq) memory.
+  * ``"auto"``  — flash on TPU when the mask is expressible as
+    (causal, per-sequence kv length), else xla.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def make_attention_bias(
+    kv_valid: Optional[jnp.ndarray],
+    q_len: int,
+    kv_len: int,
+    causal: bool,
+    dtype=jnp.float32,
+    q_offset=None,
+) -> Optional[jnp.ndarray]:
+    """Additive bias [batch|1, 1, q_len, kv_len] from a kv validity mask.
+
+    Args:
+      kv_valid: [batch, kv_len] bool (True = attend) or None.
+      causal: apply causal structure; query row i sits at kv position
+        ``q_offset + i``.  Default offset aligns q to the kv tail (standard
+        decode alignment); pass ``q_offset=cache_index`` when prefilling into
+        a larger preallocated cache.
+    """
+    bias = None
+    if causal:
+        if q_offset is None:
+            q_offset = kv_len - q_len
+        q_pos = jnp.arange(q_len)[:, None] + q_offset
+        k_pos = jnp.arange(kv_len)[None, :]
+        causal_mask = q_pos >= k_pos  # [q, kv]
+        bias = jnp.where(causal_mask, 0.0, NEG_INF)[None, None].astype(dtype)
+    if kv_valid is not None:
+        pad = jnp.where(kv_valid[:, None, None, :], 0.0, NEG_INF).astype(dtype)
+        bias = pad if bias is None else bias + pad
+    return bias
+
+
+def _xla_attention(q, k, v, bias, scale):
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    bias: Optional[jnp.ndarray] = None,
+    kv_valid: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+    q_offset=None,
+) -> jnp.ndarray:
+    """Multi-head attention.
+
+    Args:
+      q: [batch, q_len, heads, head_dim].
+      k, v: [batch, kv_len, kv_heads, head_dim] (kv_heads divides heads).
+      bias: optional additive bias [batch|1, heads|1, q_len, kv_len]; when
+        given, forces the xla path.
+      kv_valid: [batch, kv_len] bool mask of valid kv positions.
+      causal: causal structure (q aligned to the kv tail).
+      impl: "auto" | "xla" | "flash".
+    """
+    b, q_len, heads, head_dim = q.shape
+    kv_len, kv_heads = k.shape[1], k.shape[2]
+    if kv_heads != heads:  # grouped-query: broadcast kv heads
+        rep = heads // kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if scale is None:
+        scale = head_dim ** -0.5
+
+    use_flash = False
+    if impl == "flash":
+        use_flash = True
+    elif impl == "auto":
+        use_flash = (
+            bias is None
+            and q_offset is None
+            and jax.default_backend() == "tpu"
+            and head_dim % 128 == 0
+            and q_len >= 128
+            and q_len == kv_len
+        )
+    if use_flash:
+        from seedx_tpu.ops.flash_attention import flash_attention
+
+        lengths = None
+        if kv_valid is not None:
+            lengths = jnp.sum(kv_valid.astype(jnp.int32), axis=-1)
+        return flash_attention(q, k, v, lengths=lengths, causal=causal, scale=scale)
+
+    full_bias = bias
+    extra = make_attention_bias(kv_valid, q_len, kv_len, causal, q_offset=q_offset)
+    if extra is not None:
+        full_bias = extra if full_bias is None else full_bias + extra
+    return _xla_attention(q, k, v, full_bias, scale)

