@@ -1,14 +1,16 @@
-"""Benchmark driver entry — prints ONE JSON line.
+"""Benchmark driver entry — prints ONE JSON line (the headline metric).
 
-Round-1 headline metric: ViT-bigG/14 448px encode throughput (images/sec) on
-one real chip — the first of the three BASELINE.json metrics ("images/sec ViT
-encode; tokens/sec/chip 13B decode; SDXL denoise steps/sec").  The reference
-publishes no numbers (BASELINE.md), so ``vs_baseline`` is null: the value is
-the baseline being established.
+Metrics (BASELINE.json: "images/sec ViT encode; tokens/sec/chip 13B decode;
+SDXL denoise steps/sec"):
+  * default / ``--metric vit_encode``: ViT-bigG/14 448px encode images/sec —
+    full flagship geometry (width 1664, 48 layers, mlp 8192, 1024 tokens,
+    attention-pool to 256 queries @ 4096), bf16,
+  * ``--metric decode_13b``: LLaMA2-13B greedy decode tokens/sec/chip with
+    int8 weight-only quantization (the only way 13B fits one 16GB v5e; also
+    halves the HBM weight traffic that bounds decode).
 
-Full flagship geometry: width 1664, 48 layers, mlp 8192, 1024 tokens,
-attention-pool to 256 queries @ 4096 (configs/visual_encoder/qwen_vitg_448.yaml),
-bf16, remat off (inference).
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` is null:
+these values establish the baseline.
 """
 
 from __future__ import annotations
@@ -58,14 +60,102 @@ def bench_vit_encode(batch_size: int = 16, iters: int = 10, warmup: int = 2):
     return batch_size * iters / dt
 
 
+def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
+                     decode_steps: int = 128, num_layers: int = 40):
+    """Greedy decode tokens/sec on the full 13B geometry, int8 weights."""
+    import numpy as np
+    from flax import linen as nn
+
+    from seedx_tpu.models.llama import (LlamaForCausalLM, init_kv_cache,
+                                        llama2_13b)
+
+    cfg = llama2_13b(quantization="int8", num_layers=num_layers,
+                     param_dtype=jnp.bfloat16, remat=False)
+    model = LlamaForCausalLM(cfg)
+
+    ids = jnp.zeros((batch_size, 8), jnp.int32)
+    pos8 = jnp.broadcast_to(jnp.arange(8), (batch_size, 8))
+    shapes = nn.meta.unbox(jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids, pos8,
+                           method="init_all"))["params"])
+
+    def fill(path, x):
+        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+        if x.dtype == jnp.int8:
+            return jax.random.randint(key, x.shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
+        return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
+                ).astype(x.dtype)
+
+    params = jax.jit(
+        lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
+    jax.block_until_ready(params)
+
+    total = prompt_len + decode_steps
+
+    @jax.jit
+    def run(params, prompt_ids, seed_token):
+        embeds = model.apply({"params": params}, prompt_ids, method="embed")
+        positions = jnp.broadcast_to(jnp.arange(prompt_len),
+                                     (batch_size, prompt_len))
+        cache = init_kv_cache(cfg, batch_size, total)
+        kv_valid = jnp.arange(total)[None, :] < prompt_len
+        logits, _, cache = model.apply({"params": params}, embeds, positions,
+                                       kv_valid, cache, 0)
+
+        def step(carry, t):
+            cache, token = carry
+            emb = model.apply({"params": params}, token[:, None],
+                              method="embed")
+            kv_valid = jnp.arange(total)[None, :] < prompt_len + t + 1
+            lg, _, cache = model.apply(
+                {"params": params}, emb,
+                jnp.full((batch_size, 1), prompt_len + t), kv_valid, cache,
+                prompt_len + t)
+            return (cache, jnp.argmax(lg[:, 0], -1).astype(jnp.int32)), None
+
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32) + seed_token
+        (cache, last), _ = jax.lax.scan(step, (cache, first),
+                                        jnp.arange(decode_steps))
+        return jnp.sum(last)
+
+    prompt = jax.random.randint(jax.random.PRNGKey(0),
+                                (batch_size, prompt_len), 0, 32000)
+    float(run(params, prompt, jnp.int32(0)))  # compile + warm
+    t0 = time.perf_counter()
+    acc = jnp.int32(0)
+    iters = 3
+    for i in range(iters):
+        acc = acc * 0 + run(params, prompt, acc * 0)
+    float(acc)
+    dt = time.perf_counter() - t0
+    return batch_size * decode_steps * iters / dt
+
+
 def main():
-    value = bench_vit_encode()
-    print(json.dumps({
-        "metric": "vit_bigG_448_encode",
-        "value": round(value, 2),
-        "unit": "images/sec",
-        "vs_baseline": None,
-    }))
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--metric", default="vit_encode",
+                   choices=["vit_encode", "decode_13b"])
+    args = p.parse_args()
+
+    if args.metric == "decode_13b":
+        value = bench_decode_13b()
+        print(json.dumps({
+            "metric": "llama13b_int8_decode",
+            "value": round(value, 2),
+            "unit": "tokens/sec/chip",
+            "vs_baseline": None,
+        }))
+    else:
+        value = bench_vit_encode()
+        print(json.dumps({
+            "metric": "vit_bigG_448_encode",
+            "value": round(value, 2),
+            "unit": "images/sec",
+            "vs_baseline": None,
+        }))
 
 
 if __name__ == "__main__":

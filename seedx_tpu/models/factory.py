@@ -1,0 +1,196 @@
+"""Model factories — the ``_target_``s of the YAML config graph.
+
+These are the TPU-native equivalents of the reference's ``from_pretrained``
+classmethods (reference: qwen_visual.py:431-459, peft_models.py:27-106,
+seed_x.py:225-234, adapter_modules.py:59-66): build the flax module, init or
+convert+load parameters, return ``(module, params)``.
+
+DEBUG mode: set env ``SEEDX_DEBUG=1`` (the reference's ``DEBUG_FLAG``) to get
+tiny random models regardless of config — every entry point then runs
+without the released 17B weights.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _debug_mode() -> bool:
+    return os.environ.get("SEEDX_DEBUG", os.environ.get("DEBUG_FLAG", "")) \
+        in ("1", "True", "true")
+
+
+def _merge_loaded(init_params: Any, loaded: Any, label: str) -> Any:
+    """Overlay converted weights onto an init tree, reporting mismatches
+    (the reference prints missing/unexpected keys, adapter_modules.py:64-65).
+    """
+    from flax import traverse_util
+
+    flat_init = traverse_util.flatten_dict(init_params, sep="/")
+    flat_load = traverse_util.flatten_dict(loaded, sep="/")
+    missing = [k for k in flat_init if k not in flat_load]
+    unexpected = [k for k in flat_load if k not in flat_init]
+    merged = {}
+    skipped = []
+    for k, v in flat_init.items():
+        if k in flat_load:
+            w = jnp.asarray(flat_load[k], dtype=v.dtype if hasattr(v, "dtype")
+                            else None)
+            if hasattr(v, "shape") and w.shape != v.shape:
+                skipped.append((k, w.shape, v.shape))
+                merged[k] = v
+            else:
+                merged[k] = w
+        else:
+            merged[k] = v
+    if missing or unexpected or skipped:
+        logger.info("%s load: %d missing, %d unexpected, %d shape-mismatched",
+                    label, len(missing), len(unexpected), len(skipped))
+    return traverse_util.unflatten_dict(merged, sep="/")
+
+
+def build_visual_encoder(
+    pretrained_model_path: Optional[str] = None,
+    image_size: int = 448,
+    patch_size: int = 14,
+    width: int = 1664,
+    layers: int = 48,
+    heads: int = 16,
+    mlp_ratio: float = 4.9231,
+    output_dim: int = 4096,
+    remat: bool = True,
+    param_dtype: str = "float32",
+    **unused,
+) -> Tuple[Any, Any]:
+    """(reference: VisionTransformerWithAttnPool.from_pretrained,
+    qwen_visual.py:431-459)"""
+    from seedx_tpu.models.vit import ViTConfig, VisionTransformer, vit_tiny_debug
+
+    if _debug_mode():
+        cfg = vit_tiny_debug(image_size=image_size)
+        pretrained_model_path = None
+    else:
+        cfg = ViTConfig(image_size=image_size, patch_size=patch_size,
+                        width=width, layers=layers, heads=heads,
+                        mlp_ratio=mlp_ratio, output_dim=output_dim,
+                        param_dtype=jnp.dtype(param_dtype))
+    model = VisionTransformer(cfg, remat=remat)
+    dummy = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), dummy))["params"] \
+        if pretrained_model_path else \
+        model.init(jax.random.PRNGKey(0), dummy)["params"]
+
+    if pretrained_model_path:
+        from flax import linen as nn
+
+        from seedx_tpu.utils.weights import (convert_qwen_vit,
+                                             load_torch_checkpoint)
+
+        sd = load_torch_checkpoint(pretrained_model_path)
+        loaded = convert_qwen_vit(sd, num_layers=cfg.layers)
+        shapes = nn.meta.unbox(params)
+        params = _merge_loaded(
+            jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes),
+            loaded, "qwen_vit")
+    else:
+        from flax import linen as nn
+
+        params = nn.meta.unbox(params)
+    return model, params
+
+
+def build_llm_config(
+    vocab_size: int = 32330,
+    lora_rank: int = 0,
+    lora_alpha: float = 32.0,
+    lora_dropout: float = 0.05,
+    **overrides,
+):
+    """(reference: llm_seed_x_lora.yaml / get_peft_model_with_resize_embedding)"""
+    from seedx_tpu.models.llama import llama2_13b, llama_debug
+
+    if _debug_mode():
+        return llama_debug(lora_rank=lora_rank, lora_alpha=lora_alpha,
+                           lora_dropout=lora_dropout)
+    return llama2_13b(vocab_size=vocab_size, lora_rank=lora_rank,
+                      lora_alpha=lora_alpha, lora_dropout=lora_dropout,
+                      **overrides)
+
+
+def build_agent(
+    llm: Any,
+    pretrained_llm_path: Optional[str] = None,
+    pretrained_agent_path: Optional[str] = None,
+    lm_loss_scale: float = 1.0,
+    rec_loss_scale: float = 6.0,
+    add_patch_pos: bool = True,
+    vit_down: bool = True,
+    vit_dim: int = 4096,
+    num_img_in_tokens: int = 64,
+    num_img_out_tokens: int = 64,
+    **unused,
+) -> Tuple[Any, Any]:
+    """(reference: ContinuousLVLM.from_pretrained, seed_x.py:225-234 +
+    agent_seed_x.yaml)"""
+    from seedx_tpu.models.agent import AgentConfig, ContinuousLVLM
+
+    if _debug_mode():
+        # must match vit_tiny_debug's output_dim (128)
+        vit_dim = 128 if vit_dim == 4096 else vit_dim
+
+    cfg = AgentConfig(
+        llm=llm, lm_loss_scale=lm_loss_scale, rec_loss_scale=rec_loss_scale,
+        add_patch_pos=add_patch_pos, vit_down=vit_down, vit_dim=vit_dim,
+        num_img_in_tokens=num_img_in_tokens,
+        num_img_out_tokens=num_img_out_tokens,
+        resampler_heads=32 if not _debug_mode() else 4)
+    model = ContinuousLVLM(cfg)
+
+    B, S, N = 1, 80, 1
+    t = 4 * num_img_out_tokens if vit_down else num_img_out_tokens
+    ids = jnp.zeros((B, S), jnp.int32)
+    attn = jnp.ones((B, S), bool)
+    img = jnp.zeros((N, t, vit_dim), jnp.bfloat16)
+    fmask = jnp.zeros((N,), bool)
+    idsm = jnp.zeros((B, S), bool).at[0, 1:1 + num_img_out_tokens].set(True)
+    init_fn = lambda: model.init(
+        jax.random.PRNGKey(0), ids, attn, jnp.where(attn, ids, -100), img,
+        fmask, fmask, idsm, idsm, jnp.full((N, 2), 0.5), method="init_all")
+
+    from flax import linen as nn
+
+    if pretrained_llm_path or pretrained_agent_path:
+        shapes = nn.meta.unbox(jax.eval_shape(init_fn)["params"])
+        params = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
+        from seedx_tpu.utils.weights import (convert_agent_checkpoint,
+                                             convert_llama_hf,
+                                             load_torch_checkpoint)
+
+        if pretrained_llm_path:
+            sd = load_torch_checkpoint(pretrained_llm_path)
+            llm_params = convert_llama_hf(sd, num_layers=llm.num_layers,
+                                          vocab_size=llm.vocab_size)
+            params = _merge_loaded(params, {"llm": llm_params}, "llm")
+        if pretrained_agent_path:
+            sd = load_torch_checkpoint(pretrained_agent_path)
+            agent_parts = convert_agent_checkpoint(sd)
+            llm_sd = agent_parts.pop("llm_state_dict", None)
+            params = _merge_loaded(params, agent_parts, "agent")
+            if llm_sd:
+                llm_params = convert_llama_hf(llm_sd,
+                                              num_layers=llm.num_layers,
+                                              vocab_size=llm.vocab_size)
+                params = _merge_loaded(params, {"llm": llm_params},
+                                       "agent-llm")
+    else:
+        params = nn.meta.unbox(init_fn()["params"])
+    return model, params

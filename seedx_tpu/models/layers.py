@@ -56,12 +56,20 @@ class PDense(nn.Module):
 
 
 class LoRADense(nn.Module):
-    """Dense with an optional low-rank trainable delta.
+    """Dense with an optional low-rank trainable delta and optional int8
+    weight-only quantization.
 
-    Matches the reference LoRA semantics (r=32, alpha=32, dropout on the LoRA
+    LoRA matches the reference semantics (r=32, alpha=32, dropout on the LoRA
     input only; configs/clm_models/llm_seed_x_lora.yaml:6-25):
       ``y = x @ W + scale * dropout(x) @ A @ B``, scale = alpha / r.
     ``A`` is init'd gaussian, ``B`` zeros, so the delta starts at 0.
+
+    ``quantize="int8"`` stores the frozen base kernel as int8 + per-output
+    fp32 scales; dequant fuses into the matmul.  Decode is HBM-bandwidth
+    bound, so int8 weights halve the per-token weight traffic — and they are
+    the only way a 13B backbone fits one 16GB v5e chip.  (TPU-native
+    replacement for the serving-side fp16 the reference uses,
+    eval_img2text_seed_x_i.py:61.)
     """
 
     features: int
@@ -70,12 +78,26 @@ class LoRADense(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.0
+    quantize: str = "none"            # "none" | "int8"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     kernel_init: Initializer = default_init
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.quantize == "int8":
+            kernel_q = self.param(
+                "kernel_q",
+                _part(nn.initializers.zeros_init(), self.kernel_axes),
+                (x.shape[-1], self.features), jnp.int8)
+            kernel_scale = self.param(
+                "kernel_scale",
+                _part(nn.initializers.ones_init(), (self.kernel_axes[1],)),
+                (self.features,), jnp.float32)
+            kernel = kernel_q.astype(self.dtype) \
+                * kernel_scale.astype(self.dtype)[None, :]
+            y = jnp.dot(x.astype(self.dtype), kernel)
+            return self._finish(x, y)
         kernel = self.param(
             "kernel",
             _part(self.kernel_init, self.kernel_axes),
@@ -83,6 +105,10 @@ class LoRADense(nn.Module):
             self.param_dtype,
         )
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        return self._finish(x, y)
+
+    def _finish(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        """LoRA delta + bias (runs inside the compact scope)."""
         if self.lora_rank > 0:
             lora_a = self.param(
                 "lora_a",

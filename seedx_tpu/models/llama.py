@@ -49,6 +49,7 @@ class LlamaConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.05
+    quantization: str = "none"   # "none" | "int8" weight-only (serving)
     attention_impl: str = "auto"
     remat: bool = True
     scan_layers: bool = True
@@ -107,8 +108,8 @@ class LlamaBlock(nn.Module):
             return LoRADense(
                 features, kernel_axes=(in_axis, out_axis), use_bias=False,
                 lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
-                lora_dropout=cfg.lora_dropout, dtype=cfg.dtype,
-                param_dtype=cfg.param_dtype, name=name)
+                lora_dropout=cfg.lora_dropout, quantize=cfg.quantization,
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
 
         h = RMSNorm(epsilon=cfg.rms_eps, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="input_layernorm")(x)
@@ -200,7 +201,9 @@ class LlamaModel(nn.Module):
 
         if cfg.scan_layers:
             block = _ScannedBlock
-            if cfg.remat:
+            # remat is a training-memory tool; the int8 path is serving-only
+            # (and int8 leaves break remat's jvp tracing inside scan).
+            if cfg.remat and cfg.quantization == "none":
                 block = nn.remat(block, prevent_cse=False)
             carry = (x, cos, sin, kv_valid, jnp.asarray(cache_index, jnp.int32))
             carry, new_cache = nn.scan(

