@@ -132,15 +132,74 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
     return batch_size * decode_steps * iters / dt
 
 
+def bench_sdxl_denoise(batch_size: int = 1, steps: int = 10,
+                       height: int = 1024, width: int = 1024):
+    """SDXL-base UNet denoise steps/sec (2-way CFG, 1024x1024, bf16)."""
+    from flax import linen as nn
+
+    from seedx_tpu.models.sdxl.pipeline import (SamplerConfig,
+                                                default_time_ids,
+                                                denoise_text2image,
+                                                prepare_latents)
+    from seedx_tpu.models.sdxl.scheduler import make_schedule
+    from seedx_tpu.models.sdxl.unet import UNet2DCondition, sdxl_base_unet
+
+    cfg = sdxl_base_unet(param_dtype=jnp.bfloat16)
+    unet = UNet2DCondition(cfg)
+    scfg = SamplerConfig(height=height, width=width, num_inference_steps=steps)
+    schedule = make_schedule(steps)
+
+    h, w = scfg.latent_hw
+    sample = jnp.zeros((batch_size, h, w, 4), jnp.bfloat16)
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (batch_size, 64, cfg.cross_attention_dim),
+                            jnp.bfloat16)
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (batch_size, 1280),
+                               jnp.bfloat16)
+    tids = default_time_ids(scfg, batch_size)
+    params = nn.meta.unbox(jax.jit(lambda: unet.init(
+        jax.random.PRNGKey(0), sample, jnp.array([1.0]), ctx, pooled,
+        tids))()["params"])
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def run(params, latents, shift):
+        out = denoise_text2image(
+            unet, params, schedule, latents + shift, ctx, ctx * 0, pooled,
+            pooled * 0, tids)
+        return jnp.sum(out.astype(jnp.float32))
+
+    latents = prepare_latents(jax.random.PRNGKey(3), batch_size, scfg,
+                              schedule, jnp.bfloat16)
+    float(run(params, latents, jnp.bfloat16(0)))   # compile + warm
+    iters = 3
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for i in range(iters):
+        acc = acc * 0 + run(params, latents, acc.astype(jnp.bfloat16) * 0
+                            + jnp.bfloat16(i))
+    float(acc)
+    dt = time.perf_counter() - t0
+    return steps * iters / dt
+
+
 def main():
     import argparse
 
     p = argparse.ArgumentParser()
     p.add_argument("--metric", default="vit_encode",
-                   choices=["vit_encode", "decode_13b"])
+                   choices=["vit_encode", "decode_13b", "sdxl_denoise"])
     args = p.parse_args()
 
-    if args.metric == "decode_13b":
+    if args.metric == "sdxl_denoise":
+        value = bench_sdxl_denoise()
+        print(json.dumps({
+            "metric": "sdxl_unet_denoise_1024_cfg2",
+            "value": round(value, 2),
+            "unit": "steps/sec",
+            "vs_baseline": None,
+        }))
+    elif args.metric == "decode_13b":
         value = bench_decode_13b()
         print(json.dumps({
             "metric": "llama13b_int8_decode",

@@ -1,0 +1,117 @@
+"""Executable eval entry points mirroring the reference's 7 inference scripts.
+
+  python -m seedx_tpu.inference.eval_cli img2text   --image X --question Q
+      <- src/inference/eval_img2text_seed_x_i.py (instruct)
+         / eval_img2text_seed_x.py (--prompt_style pretrain)
+  python -m seedx_tpu.inference.eval_cli ground     --image X --question Q
+      <- detection half of eval_img2text_seed_x_i.py
+  python -m seedx_tpu.inference.eval_cli text2img   --caption C
+      <- eval_text2img_seed_x_i.py / eval_text2img_seed_x.py
+  python -m seedx_tpu.inference.eval_cli edit       --image X --instruction I
+      <- eval_img2edit_seed_x_edit.py
+  python -m seedx_tpu.inference.eval_cli detokenize --image X [--condition Y]
+      <- eval_seed_x_detokenizer.py / eval_seed_x_detokenizer_with_condition.py
+
+``--debug`` (or env SEEDX_DEBUG=1) runs the tiny random stack so every flow
+executes without the released 17B weights (the reference DEBUG_FLAG analogue).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _save_images(images, out_dir: str, stem: str):
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, img in enumerate(np.asarray(images)):
+        arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        path = os.path.join(out_dir, f"{stem}_{i}.png")
+        Image.fromarray(arr).save(path)
+        paths.append(path)
+    return paths
+
+
+def _load_runtime(args):
+    from seedx_tpu.inference.runtime import SeedXRuntime
+
+    if args.debug or os.environ.get("SEEDX_DEBUG") in ("1", "True"):
+        return SeedXRuntime.debug(with_adapter=True)
+    raise SystemExit(
+        "non-debug runtime requires converted checkpoints; pass --debug or "
+        "set SEEDX_DEBUG=1, or construct SeedXRuntime from "
+        "seedx_tpu.models.factory builders with pretrained paths")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("command", choices=["img2text", "ground", "text2img",
+                                       "edit", "detokenize"])
+    p.add_argument("--image")
+    p.add_argument("--condition")
+    p.add_argument("--question", default="What is in this image?")
+    p.add_argument("--caption", default="a red car on a beach")
+    p.add_argument("--instruction", default="make it a sunset")
+    p.add_argument("--prompt_style", default="instruct",
+                   choices=["instruct", "pretrain"])
+    p.add_argument("--max_new_tokens", type=int, default=512)
+    p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out_dir", default="vis")
+    p.add_argument("--debug", action="store_true")
+    args = p.parse_args(argv)
+
+    from PIL import Image
+
+    from seedx_tpu.inference import apps
+
+    rt = _load_runtime(args)
+    image = Image.open(args.image).convert("RGB") if args.image else None
+
+    if args.command == "img2text":
+        out = apps.comprehend(rt, image, args.question,
+                              prompt_style=args.prompt_style,
+                              max_new_tokens=args.max_new_tokens)
+        print(out["clean_text"])
+    elif args.command == "ground":
+        out = apps.ground(rt, image, args.question,
+                          max_new_tokens=args.max_new_tokens)
+        print(out["clean_text"])
+        print("boxes:", out.get("boxes_pixels"))
+    elif args.command == "text2img":
+        out = apps.text_to_image(rt, args.caption, seed=args.seed,
+                                 num_inference_steps=args.num_inference_steps)
+        print(out["text"])
+        if out["images"] is not None:
+            print("saved:", _save_images(out["images"], args.out_dir, "t2i"))
+        else:
+            print("(no image span generated)")
+    elif args.command == "edit":
+        out = apps.edit_image(rt, image, args.instruction, seed=args.seed,
+                              num_inference_steps=args.num_inference_steps)
+        print(out["text"])
+        if out["images"] is not None:
+            print("saved:", _save_images(out["images"], args.out_dir, "edit"))
+        else:
+            print("(no image span generated)")
+    elif args.command == "detokenize":
+        if args.condition:
+            cond = Image.open(args.condition).convert("RGB")
+            imgs = apps.reconstruct_with_condition(
+                rt, image, cond, seed=args.seed,
+                num_inference_steps=args.num_inference_steps)
+        else:
+            imgs = apps.reconstruct(
+                rt, image, seed=args.seed,
+                num_inference_steps=args.num_inference_steps)
+        print("saved:", _save_images(imgs, args.out_dir, "recon"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
