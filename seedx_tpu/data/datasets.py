@@ -69,6 +69,22 @@ def _passes_similarity(metadata_str: str, similarity_thr: float) -> bool:
     return sim is None or sim >= similarity_thr
 
 
+def _render_pdf_page(path: str):
+    """First PDF page -> PIL image (reference: sft_clm.py:175-185; requires
+    pymupdf, which is optional — samples are skipped with a warning when it
+    is absent, matching the reference's fitz-missing behaviour)."""
+    try:
+        import fitz  # pymupdf
+    except ImportError as e:
+        raise RuntimeError("pymupdf (fitz) not installed; skipping pdf "
+                           "sample") from e
+    from PIL import Image
+
+    pages = fitz.open(path)
+    pix = pages[0].get_pixmap(matrix=fitz.Matrix(1, 1))
+    return Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
+
+
 def _check_image(image, min_resolution: int, min_aspect_ratio: float) -> bool:
     w, h = image.size
     if w < min_resolution or h < min_resolution:
@@ -191,8 +207,12 @@ def build_llava_jsonl_datapipes(
                 if image_name and "null" not in image_name and \
                         image_name != "none":
                     try:
-                        image = Image.open(os.path.join(
-                            image_dir, image_name.lstrip("/"))).convert("RGB")
+                        path = os.path.join(image_dir,
+                                            image_name.lstrip("/"))
+                        if path.endswith(".pdf"):
+                            image = _render_pdf_page(path)
+                        else:
+                            image = Image.open(path).convert("RGB")
                         tiles, patch_pos = process_anyres_image(
                             image, image_transform, pinpoints,
                             base_resolution)

@@ -102,21 +102,29 @@ def dot_product_attention(
     if impl == "flash":
         use_flash = True
     elif impl == "auto":
+        # flash handles training (q==kv) AND prefill-into-cache (kv > q with
+        # an explicit q_offset); decode (q_len 1) stays on the xla path.
         use_flash = (
             bias is None
-            and q_offset is None
             and jax.default_backend() == "tpu"
             and head_dim % 128 == 0
             and q_len >= 128
-            and q_len == kv_len
+            and q_len % 128 == 0
+            and kv_len % 128 == 0
+            and (q_len == kv_len or q_offset is not None)
         )
     if use_flash:
         from seedx_tpu.ops.flash_attention import flash_attention
 
-        lengths = None
+        starts = ends = None
         if kv_valid is not None:
-            lengths = jnp.sum(kv_valid.astype(jnp.int32), axis=-1)
-        return flash_attention(q, k, v, lengths=lengths, causal=causal, scale=scale)
+            # kv_valid is a contiguous window in every caller (right-padded
+            # training batches / left-padded generation prompts + cache tail)
+            m = kv_valid.astype(jnp.int32)
+            starts = jnp.argmax(m, axis=-1).astype(jnp.int32)
+            ends = starts + jnp.sum(m, axis=-1)
+        return flash_attention(q, k, v, starts=starts, ends=ends,
+                               q_offset=q_offset, causal=causal, scale=scale)
 
     full_bias = bias
     extra = make_attention_bias(kv_valid, q_len, kv_len, causal, q_offset=q_offset)

@@ -34,24 +34,32 @@ DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 256
 
 
-def _flash_fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                      causal: bool, block_k: int, kv_len: int):
+def _flash_fwd_kernel(starts_ref, ends_ref, qoff_ref, q_ref, k_ref, v_ref,
+                      o_ref, *, scale: float, causal: bool, block_k: int,
+                      kv_len: int):
     # q_ref: [block_q, head_dim]; k_ref/v_ref: [kv_len, head_dim]
+    # valid kv cells per batch = the window [starts[b], ends[b]) — this
+    # covers right-padded training masks AND left-padded generation prompts
+    # qoff_ref: [1] global kv position of q row 0 (prefill-into-cache offset)
     block_q, head_dim = q_ref.shape
     iq = pl.program_id(2)
     b = pl.program_id(0)
 
     q = q_ref[:].astype(jnp.float32) * scale
 
-    length = lengths_ref[b]
-    num_k_by_len = pl.cdiv(length, block_k)
+    q_offset = qoff_ref[0]
+    start = starts_ref[b]
+    end = ends_ref[b]
+    first_k = start // block_k          # fully-masked head tiles skipped
+    num_k_by_len = pl.cdiv(end, block_k)
     if causal:
-        num_k_causal = pl.cdiv((iq + 1) * block_q, block_k)
+        num_k_causal = pl.cdiv(q_offset + (iq + 1) * block_q, block_k)
         num_k = jnp.minimum(num_k_by_len, num_k_causal)
     else:
         num_k = num_k_by_len
 
-    q_pos = iq * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    q_pos = q_offset + iq * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
 
     def body(j, carry):
         acc, m, l = carry
@@ -63,7 +71,7 @@ def _flash_fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
             preferred_element_type=jnp.float32,
         )  # [block_q, block_k]
         k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = k_pos < length
+        mask = jnp.logical_and(k_pos >= start, k_pos < end)
         if causal:
             mask = jnp.logical_and(mask, q_pos >= k_pos)
         s = jnp.where(mask, s, NEG_INF)
@@ -85,22 +93,33 @@ def _flash_fwd_kernel(lengths_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float,
         jnp.full((block_q,), NEG_INF, jnp.float32),
         jnp.zeros((block_q,), jnp.float32),
     )
-    acc, m, l = jax.lax.fori_loop(0, num_k, body, init)
+    acc, m, l = jax.lax.fori_loop(first_k, num_k, body, init)
     # Fully-masked rows (query beyond length) produce l == 0; emit zeros.
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[:] = (acc / l_safe[:, None]).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, lengths, causal, scale, block_q, block_k):
+def _flash_forward(q, k, v, starts, ends, q_offset, causal, scale, block_q,
+                   block_k):
     b, q_len, heads, head_dim = q.shape
     kv_len = k.shape[1]
+    # shrink blocks until they divide the sequence (128 floor = VPU tile)
+    while block_q > 128 and q_len % block_q:
+        block_q //= 2
+    while block_k > 128 and kv_len % block_k:
+        block_k //= 2
     block_q = min(block_q, q_len)
     block_k = min(block_k, kv_len)
     if q_len % block_q or kv_len % block_k:
         raise ValueError(f"seq lens ({q_len},{kv_len}) must be multiples of "
                          f"blocks ({block_q},{block_k})")
-    if lengths is None:
-        lengths = jnp.full((b,), kv_len, jnp.int32)
+    if starts is None:
+        starts = jnp.zeros((b,), jnp.int32)
+    if ends is None:
+        ends = jnp.full((b,), kv_len, jnp.int32)
+    if q_offset is None:
+        q_offset = kv_len - q_len
+    q_offset = jnp.asarray(q_offset, jnp.int32).reshape(1)
 
     # [b, s, h, d] -> [b, h, s, d] for contiguous per-head tiles.
     qt = jnp.swapaxes(q, 1, 2)
@@ -115,7 +134,7 @@ def _flash_forward(q, k, v, lengths, causal, scale, block_q, block_k):
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((None, None, block_q, head_dim),
@@ -134,33 +153,38 @@ def _flash_forward(q, k, v, lengths, causal, scale, block_q, block_k):
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
             transcendentals=b * heads * q_len * kv_len,
         ),
-    )(lengths.astype(jnp.int32), qt, kt, vt)
+    )(starts.astype(jnp.int32), ends.astype(jnp.int32), q_offset, qt, kt, vt)
     return jnp.swapaxes(out, 1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, lengths, causal, scale, block_q, block_k):
-    return _flash_forward(q, k, v, lengths, causal, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9))
+def _flash(q, k, v, starts, ends, q_offset, causal, scale, block_q, block_k):
+    return _flash_forward(q, k, v, starts, ends, q_offset, causal, scale,
+                          block_q, block_k)
 
 
-def _flash_fwd(q, k, v, lengths, causal, scale, block_q, block_k):
-    out = _flash_forward(q, k, v, lengths, causal, scale, block_q, block_k)
-    return out, (q, k, v, lengths)
+def _flash_fwd(q, k, v, starts, ends, q_offset, causal, scale, block_q,
+               block_k):
+    out = _flash_forward(q, k, v, starts, ends, q_offset, causal, scale,
+                         block_q, block_k)
+    return out, (q, k, v, starts, ends, q_offset)
 
 
 def _flash_bwd(causal, scale, block_q, block_k, residuals, g):
-    q, k, v, lengths = residuals
+    q, k, v, starts, ends, q_offset = residuals
 
     def ref_fn(q, k, v):
-        kv_valid = None
-        if lengths is not None:
-            kv_valid = jnp.arange(k.shape[1])[None, :] < lengths[:, None]
-        bias = make_attention_bias(kv_valid, q.shape[1], k.shape[1], causal)
+        pos = jnp.arange(k.shape[1])[None, :]
+        lo = starts[:, None] if starts is not None else 0
+        hi = ends[:, None] if ends is not None else k.shape[1]
+        kv_valid = (pos >= lo) & (pos < hi)
+        bias = make_attention_bias(kv_valid, q.shape[1], k.shape[1], causal,
+                                   q_offset=q_offset)
         return _xla_attention(q, k, v, bias, scale)
 
     _, vjp = jax.vjp(ref_fn, q, k, v)
     dq, dk, dv = vjp(g)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None, None
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
@@ -172,18 +196,29 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     lengths: Optional[jnp.ndarray] = None,
+    starts: Optional[jnp.ndarray] = None,
+    ends: Optional[jnp.ndarray] = None,
+    q_offset=None,
     causal: bool = True,
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
-    """Exact blockwise attention.
+    """Exact blockwise attention with a per-batch valid kv window.
 
     Args:
-      q, k, v: [batch, seq, heads, head_dim] (same seq for q and kv).
-      lengths: [batch] int32 count of valid (right-padded) kv positions.
+      q, k, v: [batch, seq, heads, head_dim]; kv seq may exceed q seq
+        (prefill into a preallocated cache).
+      lengths: [batch] right-padded convenience alias for ends (starts=0).
+      starts/ends: [batch] int32 valid window [start, end) — handles BOTH
+        right-padded training masks and left-padded generation prompts.
+      q_offset: kv position of q row 0 (default: aligned to the kv tail).
       causal: apply causal mask.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, lengths, causal, scale, block_q, block_k)
+    if lengths is not None:
+        assert starts is None and ends is None
+        ends = lengths
+    return _flash(q, k, v, starts, ends, q_offset, causal, scale, block_q,
+                  block_k)

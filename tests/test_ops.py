@@ -96,3 +96,29 @@ def test_flash_attention_matches_xla():
     mask = np.asarray(kv_valid)[:, :, None, None]
     diff = np.abs(np.asarray(ref, np.float32) - np.asarray(fl, np.float32))
     assert np.max(diff * mask) < 0.03
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="pallas TPU kernel")
+def test_flash_attention_window_and_prefill_offset():
+    """Window masks (left-padded prompts) + prefill-into-cache q_offset."""
+    from seedx_tpu.ops.flash_attention import flash_attention
+
+    b, h, d = 2, 4, 128
+    P, K = 384, 640
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, P, h, d), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, K, h, d), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, K, h, d), jnp.bfloat16)
+    starts = jnp.array([50, 0], jnp.int32)
+    ends = jnp.array([384, 300], jnp.int32)
+    pos = jnp.arange(K)[None, :]
+    kv_valid = (pos >= starts[:, None]) & (pos < ends[:, None])
+
+    ref = dot_product_attention(q, k, v, kv_valid=kv_valid, causal=True,
+                                q_offset=0, impl="xla")
+    fl = flash_attention(q, k, v, starts=starts, ends=ends, q_offset=0,
+                         causal=True)
+    qpos = jnp.arange(P)[None, :]
+    qmask = np.asarray((qpos >= starts[:, None])
+                       & (qpos < ends[:, None]))[:, :, None, None]
+    diff = np.abs(np.asarray(ref, np.float32) - np.asarray(fl, np.float32))
+    assert (diff * qmask).max() < 0.03
