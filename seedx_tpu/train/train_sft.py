@@ -193,6 +193,9 @@ def main(argv=None):
     p.add_argument("--resume", action="store_true")
     args = p.parse_args(argv)
 
+    from seedx_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     transform = config_lib.instantiate_from_file(args.image_transform)
     tokenizer = config_lib.instantiate_from_file(args.tokenizer)
     vit, vit_params = config_lib.instantiate_from_file(args.visual_encoder)
