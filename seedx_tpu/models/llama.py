@@ -275,3 +275,33 @@ def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     total = jnp.sum(jnp.where(valid, -token_ll, 0.0))
     count = jnp.maximum(jnp.sum(valid), 1)
     return total / count
+
+
+class LlamaForSequenceClassification(nn.Module):
+    """Sequence classification head over the trunk
+    (reference: modeling_llama_xformer.py:804-919): score the LAST non-pad
+    token's hidden state, like the HF semantics."""
+
+    cfg: LlamaConfig
+    num_labels: int = 2
+
+    def setup(self):
+        self.embed_tokens = Embedder(self.cfg)
+        self.model = LlamaModel(self.cfg)
+        self.score = PDense(self.num_labels, kernel_axes=("embed", None),
+                            use_bias=False, dtype=self.cfg.dtype,
+                            param_dtype=self.cfg.param_dtype)
+
+    def __call__(self, input_ids, attention_mask=None):
+        b, s = input_ids.shape
+        if attention_mask is None:
+            attention_mask = jnp.ones((b, s), bool)
+        positions = jnp.maximum(
+            jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1, 0)
+        embeds = self.embed_tokens(input_ids)
+        hidden, _ = self.model(embeds, positions,
+                               kv_valid=attention_mask.astype(bool))
+        logits = self.score(hidden)
+        last = jnp.sum(attention_mask.astype(jnp.int32), axis=-1) - 1
+        return jnp.take_along_axis(
+            logits, last[:, None, None].astype(jnp.int32), axis=1)[:, 0]

@@ -90,7 +90,8 @@ class ViTBlock(nn.Module):
         def heads(t):
             return t.reshape(*t.shape[:-1], cfg.heads, head_dim)
 
-        attn = dot_product_attention(heads(q), heads(k), heads(v), impl="xla")
+        attn = dot_product_attention(heads(q), heads(k), heads(v),
+                                     impl="auto")
         attn = attn.reshape(*x.shape)
         attn = PDense(cfg.width, kernel_axes=("heads", "embed"), dtype=cfg.dtype,
                       param_dtype=cfg.param_dtype, name="out_proj")(attn)

@@ -104,10 +104,13 @@ def dot_product_attention(
     elif impl == "auto":
         # flash handles training (q==kv) AND prefill-into-cache (kv > q with
         # an explicit q_offset); decode (q_len 1) stays on the xla path.
+        # Odd head dims (ViT-bigG's 104) are zero-padded to the 128 lane
+        # width: padding q/k leaves the logits unchanged and padded v
+        # channels are sliced away — cheaper than materialising the fp32
+        # [B, H, S, S] probs the xla path writes to HBM.
         use_flash = (
             bias is None
             and jax.default_backend() == "tpu"
-            and head_dim % 128 == 0
             and q_len >= 128
             and q_len % 128 == 0
             and kv_len % 128 == 0
@@ -123,8 +126,15 @@ def dot_product_attention(
             m = kv_valid.astype(jnp.int32)
             starts = jnp.argmax(m, axis=-1).astype(jnp.int32)
             ends = starts + jnp.sum(m, axis=-1)
-        return flash_attention(q, k, v, starts=starts, ends=ends,
-                               q_offset=q_offset, causal=causal, scale=scale)
+        pad = (-head_dim) % 128
+        if pad:
+            widths = [(0, 0)] * 3 + [(0, pad)]
+            q = jnp.pad(q, widths)
+            k = jnp.pad(k, widths)
+            v = jnp.pad(v, widths)
+        out = flash_attention(q, k, v, starts=starts, ends=ends,
+                              q_offset=q_offset, causal=causal, scale=scale)
+        return out[..., :head_dim] if pad else out
 
     full_bias = bias
     extra = make_attention_bias(kv_valid, q_len, kv_len, causal, q_offset=q_offset)

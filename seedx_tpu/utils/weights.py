@@ -307,3 +307,13 @@ def convert_detokenizer_resampler(sd: StateDict, depth: int = 4,
                    "bias": _np(sd[p(ap + "c_proj.bias")])},
     }
     return out
+
+
+def extract_qwen_vit_from_qwen_vl(sd: StateDict) -> Dict[str, np.ndarray]:
+    """Extract the visual tower from a full Qwen-VL-Chat checkpoint
+    (reference tool: src/tools/reload_qwen_vit.py — filters
+    ``transformer.visual.*`` into qwen_vit_G.pt).  Feed the result to
+    :func:`convert_qwen_vit`."""
+    prefix = "transformer.visual."
+    return {k[len(prefix):]: _np(v) for k, v in sd.items()
+            if k.startswith(prefix)}

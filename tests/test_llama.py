@@ -103,3 +103,22 @@ def test_lora_zero_init_preserves_forward(llm):
     # lora_b is zero-init -> identical output
     np.testing.assert_allclose(np.asarray(ref_logits, np.float32),
                                np.asarray(lora_logits, np.float32), atol=1e-5)
+
+
+def test_sequence_classification_head():
+    from seedx_tpu.models.llama import LlamaForSequenceClassification
+
+    cfg = llama_debug(hidden_size=64, intermediate_size=128, num_layers=1,
+                      num_heads=2, num_kv_heads=2)
+    model = LlamaForSequenceClassification(cfg, num_labels=3)
+    B, S = 2, 10
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, S), 0, 100)
+    mask = jnp.asarray(np.array([[1] * 10, [1] * 6 + [0] * 4]), bool)
+    variables = model.init(jax.random.PRNGKey(0), ids, mask)
+    out = model.apply(variables, ids, mask)
+    assert out.shape == (B, 3)
+    # padding beyond the last valid token must not change the score
+    ids2 = ids.at[1, 6:].set(7)
+    out2 = model.apply(variables, ids2, mask)
+    np.testing.assert_allclose(np.asarray(out[1], np.float32),
+                               np.asarray(out2[1], np.float32), atol=1e-5)

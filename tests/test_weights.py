@@ -287,3 +287,13 @@ def test_widen_conv_in():
     np.testing.assert_array_equal(out[:, :, :4], 1.0)
     np.testing.assert_array_equal(out[:, :, 4:], 0.0)
     assert widen_conv_in(k, 4) is k
+
+
+def test_extract_qwen_vit_from_qwen_vl():
+    sd = {
+        "transformer.visual.conv1.weight": np.zeros((4, 3, 2, 2)),
+        "transformer.visual.ln_pre.weight": np.ones(4),
+        "transformer.h.0.attn.weight": np.zeros((4, 4)),   # LLM part: dropped
+    }
+    out = W.extract_qwen_vit_from_qwen_vl(sd)
+    assert set(out) == {"conv1.weight", "ln_pre.weight"}
