@@ -282,17 +282,16 @@ def encode_edit_sample(
     src_ids = _anyres_image_ids(vocab, source_patch_length, num_img_in_tokens)
     gen_ids = _img_span(vocab, num_img_out_tokens, patch=False)
 
+    # image-first/image-last coin flip inside the instruction template
+    # (reference: sft_clm.py:560-566)
     image_in_start = rng.uniform() < 0.5
-    src_text_ids = tokenizer.encode(
-        instruction_prompt.format(instruction=instruction))
-    # splice source image ids around the tokenized instruction
+    prefix, _, suffix = instruction_prompt.partition("{instruction}")
     if image_in_start:
-        user_ids = (tokenizer.encode("[INST] ") + src_ids
-                    + tokenizer.encode(instruction + " [/INST]\n"))
+        user_ids = (tokenizer.encode(prefix) + src_ids
+                    + tokenizer.encode(instruction + suffix))
     else:
-        user_ids = (tokenizer.encode(f"[INST] {instruction}") + src_ids
-                    + tokenizer.encode(" [/INST]\n"))
-    del src_text_ids
+        user_ids = (tokenizer.encode(prefix + instruction) + src_ids
+                    + tokenizer.encode(suffix))
 
     resp_ids = tokenizer.encode(response) if response else []
     gen_labels = [gen_ids[0]] + [IGNORE] * (len(gen_ids) - 1)

@@ -58,6 +58,91 @@ class SeedXRuntime:
     # ---- constructors ------------------------------------------------------
 
     @classmethod
+    def from_checkpoints(
+        cls,
+        vit_path: Optional[str] = None,        # pretrained/QwenViT/qwen_vit_G.pt
+        llm_path: Optional[str] = None,        # pretrained/seed_x*/llm/...
+        agent_path: Optional[str] = None,      # pretrained/seed_x*/agent/...
+        tokenizer_path: Optional[str] = None,
+        detokenizer_path: Optional[str] = None,  # seed_detokenizer stage ckpt
+        sdxl_unet_path: Optional[str] = None,    # SDXL base unet safetensors
+        sdxl_vae_path: Optional[str] = None,
+        lora_rank: int = 32,
+        with_latent_image: bool = False,         # Edit variant
+        quantization: str = "none",
+    ) -> "SeedXRuntime":
+        """Assemble the full runtime from converted release artifacts
+        (the four checkpoints a SEED-X user has on disk; reference
+        README.md:74-158 + eval script setup eval_img2text_seed_x_i.py:66-117).
+        """
+        from seedx_tpu.models.factory import (build_agent, build_llm_config,
+                                              build_visual_encoder)
+
+        vit, vit_params = build_visual_encoder(pretrained_model_path=vit_path)
+        llm_cfg = build_llm_config(lora_rank=lora_rank,
+                                   quantization=quantization)
+        agent, agent_params = build_agent(
+            llm_cfg, pretrained_llm_path=llm_path,
+            pretrained_agent_path=agent_path)
+
+        adapter = None
+        if sdxl_unet_path or detokenizer_path:
+            from seedx_tpu.models.adapter import AdapterConfig, SDXLAdapter
+            from seedx_tpu.models.detokenizer import (DetokenizerConfig,
+                                                      ResamplerXL)
+            from seedx_tpu.models.sdxl.unet import (UNet2DCondition,
+                                                    sdxl_base_unet,
+                                                    sdxl_edit_unet)
+            from seedx_tpu.models.sdxl.vae import VAEConfig
+            from seedx_tpu.utils.sdxl_weights import (convert_sdxl_unet,
+                                                      convert_sdxl_vae)
+            from seedx_tpu.utils.weights import (
+                convert_detokenizer_resampler, load_torch_checkpoint)
+
+            ucfg = (sdxl_edit_unet() if with_latent_image
+                    else sdxl_base_unet())
+            rcfg = DetokenizerConfig()
+            unet_params = resampler_params = None
+            dec_params = enc_params = None
+            if sdxl_unet_path:
+                sd = load_torch_checkpoint(sdxl_unet_path)
+                unet_params = convert_sdxl_unet(
+                    sd, widen_conv_in_to=8 if with_latent_image else None)
+            if sdxl_vae_path:
+                sd = load_torch_checkpoint(sdxl_vae_path)
+                vae = convert_sdxl_vae(sd)
+                enc_params, dec_params = vae["encoder"], vae["decoder"]
+            if detokenizer_path:
+                sd = load_torch_checkpoint(detokenizer_path)
+                resampler_params = convert_detokenizer_resampler(sd)
+                # detokenizer ckpts may carry UNet deltas (full FT / to_k,to_v)
+                unet_sd = {k[len("unet."):]: v for k, v in sd.items()
+                           if k.startswith("unet.")}
+                if unet_sd and unet_params is not None:
+                    from flax import traverse_util
+
+                    deltas = convert_sdxl_unet(
+                        unet_sd,
+                        widen_conv_in_to=None) if any(
+                            k.startswith("conv_in") for k in unet_sd) else None
+                    if deltas:
+                        flat = traverse_util.flatten_dict(unet_params, sep="/")
+                        flat.update(traverse_util.flatten_dict(deltas, sep="/"))
+                        unet_params = traverse_util.unflatten_dict(flat, sep="/")
+            acfg = AdapterConfig(unet=ucfg, resampler=rcfg,
+                                 with_latent_image=with_latent_image)
+            adapter = SDXLAdapter(acfg, unet_params, resampler_params,
+                                  dec_params, enc_params,
+                                  visual_encoder=vit,
+                                  visual_encoder_params=vit_params,
+                                  vae_cfg=VAEConfig())
+
+        return cls(tokenizer=load_tokenizer(tokenizer_path),
+                   vit_cfg=vit.cfg, vit=vit, vit_params=vit_params,
+                   agent_cfg=agent.cfg, agent=agent,
+                   agent_params=agent_params, adapter=adapter)
+
+    @classmethod
     def debug(cls, seed: int = 0, with_adapter: bool = False,
               image_size: int = 56) -> "SeedXRuntime":
         """Tiny random stack; runs everywhere (tests, demos, CI)."""

@@ -110,16 +110,32 @@ def train_loop(
 
         rng = jax.random.PRNGKey(run_cfg.seed)
         t_last = time.time()
+        accum = train_cfg.gradient_accumulation_steps
+        if accum > 1:
+            # stack `accum` micro-batches on a leading scan axis
+            # (reference: --gradient_accumulation_steps 2,
+            # train_seed_x_sft.py:260-313 accumulate context)
+            data_iter = _stack_microbatches(data_iter, accum)
         with open(metrics_path, "a") as metrics_file:
             for batch in data_iter:
                 step = int(state.step)
                 if step >= train_cfg.max_steps:
                     break
-                device_batch = _to_device(batch, mesh)
+                device_batch = _to_device(batch, mesh,
+                                          accum_axis=accum > 1)
                 if vit_encode is not None and "images" in device_batch:
-                    device_batch["image_embeds"] = vit_encode(
-                        vit_params, device_batch.pop("images"),
-                        device_batch.get("patch_positions"))
+                    images = device_batch.pop("images")
+                    ppos = device_batch.get("patch_positions")
+                    if accum > 1:   # fold the accum axis into one ViT pass
+                        a, n = images.shape[:2]
+                        embeds = vit_encode(
+                            vit_params, images.reshape(a * n, *images.shape[2:]),
+                            ppos.reshape(a * n, 2))
+                        device_batch["image_embeds"] = embeds.reshape(
+                            a, n, *embeds.shape[1:])
+                    else:
+                        device_batch["image_embeds"] = vit_encode(
+                            vit_params, images, ppos)
                 rng, sub = jax.random.split(rng)
                 state, metrics = train_step(state, frozen, device_batch, sub)
 
@@ -138,6 +154,18 @@ def train_loop(
     return state
 
 
+def _stack_microbatches(it: Iterator[Dict[str, np.ndarray]], accum: int
+                        ) -> Iterator[Dict[str, np.ndarray]]:
+    """Group `accum` consecutive micro-batches into one stacked batch with a
+    leading scan axis (consumed by the trainer's accumulation scan)."""
+    group = []
+    for b in it:
+        group.append(b)
+        if len(group) == accum:
+            yield {k: np.stack([g[k] for g in group]) for k in group[0]}
+            group = []
+
+
 def _is_boxed(tree: Any) -> bool:
     from flax import linen as nn
 
@@ -146,27 +174,34 @@ def _is_boxed(tree: Any) -> bool:
                    tree, is_leaf=lambda x: isinstance(x, nn.Partitioned)))
 
 
-def _to_device(batch: Dict[str, np.ndarray], mesh) -> Dict[str, Any]:
+def _to_device(batch: Dict[str, np.ndarray], mesh,
+               accum_axis: bool = False) -> Dict[str, Any]:
+    """Place a batch on the mesh: batch dims shard over (data, fsdp).  With
+    ``accum_axis`` the leading dim is the accumulation scan axis and stays
+    unsharded."""
+    lead = [None] if accum_axis else []
     out = {}
     for k, v in batch.items():
         v = jnp.asarray(v)
+        rest = v.ndim - len(lead) - 1
         if k in ("input_ids", "attention_mask", "labels", "ids_gen_mask",
                  "ids_cmp_mask"):
-            sharding = mesh_sharding(mesh, "batch",
-                                     *([None] * (v.ndim - 1)))
+            sharding = mesh_sharding(mesh, *lead, "batch", *([None] * rest))
         elif k in ("images", "image_embeds", "patch_positions",
                    "embeds_gen_mask", "embeds_cmp_mask"):
-            sharding = mesh_sharding(mesh, "images",
-                                     *([None] * (v.ndim - 1)))
+            sharding = mesh_sharding(mesh, *lead, "images", *([None] * rest))
         else:
             sharding = None
-        # replicate when the leading dim doesn't divide the batch shards
+        # replicate when the sharded dim doesn't divide the batch shards
         # (tiny debug batches); production batches are divisible.
         if sharding is not None:
+            axis = len(lead)
+            spec_entry = sharding.spec[axis] if len(sharding.spec) > axis \
+                else None
             shards = int(np.prod([mesh.shape[a] for a in
-                                  jax.tree.leaves(sharding.spec[0])])) \
-                if sharding.spec and sharding.spec[0] else 1
-            if v.shape[0] % max(shards, 1):
+                                  jax.tree.leaves(spec_entry)])) \
+                if spec_entry else 1
+            if v.shape[axis] % max(shards, 1):
                 sharding = None
         out[k] = jax.device_put(v, sharding) if sharding is not None else v
     return out

@@ -130,7 +130,8 @@ def make_train_step(model, train_cfg: TrainConfig):
                 return (grads_acc, loss_acc, rng), None
 
             zero_grads = jax.tree.map(jnp.zeros_like, state.trainable)
-            zero_loss = {"total_loss": 0.0, "lm_loss": 0.0, "rec_loss": 0.0}
+            zero_loss = {k: jnp.zeros((), jnp.float32)
+                         for k in ("total_loss", "lm_loss", "rec_loss")}
             (grads, losses, _), _ = jax.lax.scan(
                 micro, (zero_grads, zero_loss, rng), batch)
             grads = jax.tree.map(lambda g: g / accum, grads)

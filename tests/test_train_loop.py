@@ -109,3 +109,53 @@ def test_full_train_loop_with_resume(tmp_path):
     state2 = train_loop(agent, agent_params, vit, vit_params, data(),
                         train_cfg2, run_cfg2, mesh=mesh)
     assert int(state2.step) == 5
+
+
+@pytest.mark.slow
+def test_train_loop_gradient_accumulation(tmp_path):
+    """accum=2 stacks micro-batches on a scan axis; ViT folds the axis."""
+    tok = ByteFallbackTokenizer()
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    _write_tar(str(shard_dir / "s0.tar"), 16)
+
+    image_size = 28
+    vit_cfg = ViTConfig(image_size=image_size, patch_size=14, width=32,
+                        layers=1, heads=2, mlp_ratio=2.0, n_queries=4,
+                        output_dim=32, pos_embed_len=4)
+    vit = VisionTransformer(vit_cfg, remat=False)
+    vit_params = vit.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, image_size, image_size, 3), np.float32))["params"]
+
+    llm_cfg = llama_debug(hidden_size=64, intermediate_size=128, num_layers=1,
+                          num_heads=2, num_kv_heads=2)
+    agent_cfg = AgentConfig(llm=llm_cfg, vit_dim=32, resampler_heads=2,
+                            num_img_in_tokens=4, num_img_out_tokens=4,
+                            vit_down=False)
+    agent = ContinuousLVLM(agent_cfg)
+
+    data = ThreadPrefetcher(build_caption_datapipes_with_pixels(
+        str(shard_dir), tokenizer=tok,
+        image_transform=get_transform("clip", keep_ratio=False,
+                                      image_size=image_size),
+        max_length=96, batch_size=2, cycle_count=4,
+        resolution_grids=["1x1"], base_resolution=image_size,
+        min_resolution=10, num_img_in_tokens=4, num_img_out_tokens=4))
+
+    batch = next(iter(data))
+    n_img = batch["images"].shape[0]
+    agent_params = agent.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
+        batch["labels"], np.zeros((n_img, 4, 32), np.float32),
+        batch["embeds_gen_mask"], batch["embeds_cmp_mask"],
+        batch["ids_gen_mask"], batch["ids_cmp_mask"],
+        batch["patch_positions"], method="init_all")["params"]
+
+    train_cfg = TrainConfig(learning_rate=1e-3, warmup_steps=0, max_steps=2,
+                            weight_decay=0.0, gradient_accumulation_steps=2)
+    run_cfg = RunConfig(output_dir=str(tmp_path / "run"), save_steps=100,
+                        log_steps=1)
+    state = train_loop(agent, agent_params, vit, vit_params, data,
+                       train_cfg, run_cfg, mesh=create_mesh())
+    assert int(state.step) == 2
