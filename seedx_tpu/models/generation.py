@@ -187,6 +187,12 @@ def generate(
     if ids.ndim == 1:
         ids = ids[None]
     b, s = ids.shape
+    if b != 1:
+        # the reference inference scripts are single-prompt too
+        # (eval_img2text_seed_x_i.py); batched serving needs per-sequence
+        # span extraction — tracked for the serving engine.
+        raise NotImplementedError("generate() host post-processing is "
+                                  "single-prompt; run prompts separately")
 
     # Left-pad to the smallest bucket >= s (static shapes for jit reuse).
     bucket = next((x for x in gen_cfg.prompt_buckets if x >= s), s)
