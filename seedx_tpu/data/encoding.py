@@ -18,7 +18,6 @@ per-image-slot embeds_gen_mask / embeds_cmp_mask lists.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -29,7 +29,7 @@ import logging
 import tarfile
 import threading
 import queue as queue_mod
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence
 
 import numpy as np
 

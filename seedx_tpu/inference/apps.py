@@ -14,14 +14,13 @@ surface, BASELINE.json "Public entry points mirror src/inference"):
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 import numpy as np
 
 from seedx_tpu.inference.runtime import SeedXRuntime
 from seedx_tpu.text import prompts
-from seedx_tpu.text.vocab import DEFAULT_VOCAB
 
 
 def _prepare_image_prompt(rt: SeedXRuntime, image, instruction: str,

@@ -31,11 +31,10 @@ from seedx_tpu.data.anyres import (grid_pinpoints_from_strings,
 from seedx_tpu.data.transforms import get_transform
 from seedx_tpu.models.agent import AgentConfig, ContinuousLVLM
 from seedx_tpu.models.generation import GenerationConfig, generate
-from seedx_tpu.models.llama import LlamaConfig, llama2_13b, llama_debug
-from seedx_tpu.models.vit import (ViTConfig, VisionTransformer, qwen_vitg_448,
+from seedx_tpu.models.llama import llama_debug
+from seedx_tpu.models.vit import (ViTConfig, VisionTransformer,
                                   vit_downsample, vit_tiny_debug)
 from seedx_tpu.text.tokenizer import load_tokenizer
-from seedx_tpu.text.vocab import DEFAULT_VOCAB
 
 DEFAULT_RESOLUTION_GRIDS = ("1x1", "1x2", "1x3", "2x1", "3x1", "1x4", "4x1",
                             "2x2")  # eval_img2text_seed_x_i.py:57

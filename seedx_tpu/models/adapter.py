@@ -16,7 +16,6 @@ Parity with the reference ``SDXLAdapter`` / ``SDXLAdapterWithLatentImage``
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Optional, Tuple
 
 import jax

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from seedx_tpu.models.layers import PDense, PLayerNorm, default_init
+from seedx_tpu.models.layers import PDense, PLayerNorm
 from seedx_tpu.ops.attention import dot_product_attention
 
 

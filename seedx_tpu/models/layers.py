@@ -10,7 +10,7 @@ mask over path names (see seedx_tpu/train/partition.py).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax.lax
 import jax.numpy as jnp

@@ -21,13 +21,13 @@ hack is needed here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from seedx_tpu.models.sdxl.scheduler import (EulerSchedule, euler_step,
-                                             make_schedule, scale_model_input)
+                                             scale_model_input)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -15,8 +15,6 @@ pipeline...py:962 confirms the loop body is XLA-friendly).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

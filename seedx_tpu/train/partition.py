@@ -15,7 +15,7 @@ requires_grad approach under ZeRO.
 from __future__ import annotations
 
 import re
-from typing import Any, Callable, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 from flax import traverse_util

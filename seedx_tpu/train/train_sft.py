@@ -31,7 +31,7 @@ import numpy as np
 from seedx_tpu import config as config_lib
 from seedx_tpu.models.agent import ContinuousLVLM
 from seedx_tpu.models.vit import VisionTransformer
-from seedx_tpu.parallel import create_mesh, shard_pytree, unbox
+from seedx_tpu.parallel import create_mesh, shard_pytree
 from seedx_tpu.parallel.mesh import mesh_sharding
 from seedx_tpu.train.checkpoints import CheckpointManager
 from seedx_tpu.train.trainer import (TrainConfig, TrainState,

@@ -19,13 +19,12 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax import traverse_util
 
 from seedx_tpu.train.partition import (SEED_X_TRAINABLE_PATTERNS, merge_params,
                                        path_labels, split_params)

@@ -14,7 +14,7 @@ ZeRO shards (zero_to_fp32.py) and later re-applying LoRA weights at load time
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp
