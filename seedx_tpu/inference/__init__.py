@@ -1,1 +1,2 @@
+from seedx_tpu.inference.chat import ChatSession  # noqa: F401
 from seedx_tpu.inference.runtime import SeedXRuntime  # noqa: F401

@@ -40,7 +40,11 @@ def _prepare_image_prompt(rt: SeedXRuntime, image, instruction: str,
     input_ids = [rt.tokenizer.bos_token_id] + rt.tokenizer.encode(text)
     cmp_mask = prompts.cmp_mask_from_ids(input_ids)
     embeds_cmp_mask = np.ones((n_patches,), bool)
-    return input_ids, cmp_mask, rt.pool_vit(embeds), embeds_cmp_mask, patch_pos
+    # RAW (unpooled) ViT features: the reference splices all 256 tokens per
+    # tile into the input resampler (eval_img2text_seed_x_i.py:168-176);
+    # vit_down pooling applies only to reconstruction TARGETS and
+    # LLM-feature conditioning negatives.
+    return input_ids, cmp_mask, embeds, embeds_cmp_mask, patch_pos
 
 
 def comprehend(rt: SeedXRuntime, image, question: str,
@@ -118,8 +122,9 @@ def reconstruct(rt: SeedXRuntime, image, seed: int = 42,
     """ViT features -> SDXL directly, no LLM — detokenizer reconstruction
     (reference: eval_seed_x_detokenizer.py)."""
     assert rt.adapter is not None
-    embeds = rt.pool_vit(rt.encode_image_single(image))
-    return rt.adapter.generate(embeds, seed=seed,
+    embeds = rt.encode_image_single(image)   # raw ViT tokens (reference
+    # adapter get_image_embeds image_tensor path, adapter_modules.py:103-108)
+    return rt.adapter.generate(embeds, from_vit=True, seed=seed,
                                num_inference_steps=num_inference_steps)
 
 
@@ -129,11 +134,12 @@ def reconstruct_with_condition(rt: SeedXRuntime, image, condition_image,
     """Reconstruction with a condition image through the edit UNet path
     (reference: eval_seed_x_detokenizer_with_condition.py)."""
     assert rt.adapter is not None
-    embeds = rt.pool_vit(rt.encode_image_single(image))
+    embeds = rt.encode_image_single(image)
     sampler = rt.adapter.cfg.sampler
     from seedx_tpu.data.transforms import get_transform
 
     latent_tf = get_transform("sd", keep_ratio=False, image_size=sampler.height)
     latent_image = jnp.asarray(latent_tf(condition_image))[None]
-    return rt.adapter.generate(embeds, latent_image=latent_image, seed=seed,
+    return rt.adapter.generate(embeds, from_vit=True,
+                               latent_image=latent_image, seed=seed,
                                num_inference_steps=num_inference_steps)

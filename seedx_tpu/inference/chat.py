@@ -1,0 +1,138 @@
+"""Multi-turn interleaved chat: text + images in, text + images out.
+
+The judged capability "Multi-turn interleaved chat emitting text+images
+end-to-end" (BASELINE.json configs[4]).  The reference only ships single-turn
+eval scripts; its chat format is the training one — ``[INST] ... [/INST]\\n``
+turns joined by ``\\n`` with image spans spliced into user turns
+(reference: src/data/sft_clm.py:230-272).  ``ChatSession`` maintains that
+history, re-encodes it per turn, and feeds every referenced image's ViT
+features through the comprehension splice; generated image spans are decoded
+through the SDXL adapter and can be referenced in later turns.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seedx_tpu.inference.runtime import SeedXRuntime
+from seedx_tpu.text import prompts
+
+
+@dataclasses.dataclass
+class Turn:
+    role: str                    # "user" | "assistant"
+    text: str
+    num_patches: int = 0         # image spans carried by this turn
+
+
+class ChatSession:
+    """Stateful multi-turn conversation over a SeedXRuntime."""
+
+    def __init__(self, rt: SeedXRuntime, system_message: str = ""):
+        self.rt = rt
+        self.system_message = system_message
+        self.turns: List[Turn] = []
+        self._image_embeds: List[jnp.ndarray] = []   # per-image [n_tiles,T,D]
+        self._patch_positions: List[jnp.ndarray] = []
+
+    # ------------------------------------------------------------------
+
+    def _add_image(self, image) -> int:
+        """Anyres-encode an image; returns its tile count."""
+        embeds, ppos = self.rt.encode_image_anyres(image)
+        self._image_embeds.append(embeds)       # raw 256-token ViT features
+        self._patch_positions.append(ppos)
+        return embeds.shape[0]
+
+    def _add_generated(self, img_gen_feat: jnp.ndarray) -> int:
+        """Register a generated image's features as a 1-tile context image.
+
+        The output resampler emits 64 ViT-space tokens (an 8x8 grid); context
+        images carry 256 (16x16).  Upsample bilinearly on the 2D grid so the
+        history tensor keeps one static token count and the resampler's kv
+        position table lines up with real tiles.
+        """
+        n, d = img_gen_feat.shape[1], img_gen_feat.shape[2]
+        vit_tokens = self.rt.vit_cfg.n_queries
+        if n != vit_tokens:
+            g_src = int(n ** 0.5)
+            g_tgt = int(vit_tokens ** 0.5)
+            grid = img_gen_feat.reshape(1, g_src, g_src, d).astype(jnp.float32)
+            grid = jax.image.resize(grid, (1, g_tgt, g_tgt, d), "bilinear")
+            img_gen_feat = grid.reshape(1, vit_tokens, d).astype(
+                img_gen_feat.dtype)
+        self._image_embeds.append(img_gen_feat)
+        self._patch_positions.append(jnp.full((1, 2), 0.5, jnp.float32))
+        return 1
+
+    def _build_prompt(self) -> str:
+        parts = []
+        if self.system_message:
+            msg = self.system_message
+            parts.append(msg if msg.endswith("\n") else msg + "\n")
+        first_user = True
+        for turn in self.turns:
+            spans = prompts.multi_patch_image_string(
+                turn.num_patches, self.rt.agent_cfg.num_img_in_tokens) \
+                if turn.num_patches else ""
+            if turn.role == "user":
+                text = prompts.INSTRUCTION_PROMPT.format(
+                    instruction=spans + turn.text)
+                if not first_user:
+                    text = "\n" + text
+                first_user = False
+            else:
+                text = spans + turn.text
+            parts.append(text)
+        return "".join(parts)
+
+    # ------------------------------------------------------------------
+
+    def send(self, text: str, image=None, max_new_tokens: int = 512,
+             num_inference_steps: int = 30, seed: int = 42):
+        """One user turn -> assistant reply {text, images}."""
+        n_patches = self._add_image(image) if image is not None else 0
+        self.turns.append(Turn("user", text, n_patches))
+
+        prompt = self._build_prompt()
+        tok = self.rt.tokenizer
+        input_ids = [tok.bos_token_id] + tok.encode(prompt)
+        cmp_mask = prompts.cmp_mask_from_ids(input_ids)
+
+        image_embeds = embeds_cmp = ppos = None
+        if self._image_embeds:
+            image_embeds = jnp.concatenate(self._image_embeds)
+            embeds_cmp = np.ones((image_embeds.shape[0],), bool)
+            ppos = jnp.concatenate(self._patch_positions)
+            assert int(cmp_mask.sum()) == image_embeds.shape[0] * \
+                self.rt.agent_cfg.num_img_in_tokens, \
+                "history image spans out of sync with stored features"
+
+        out = self.rt.generate(input_ids, image_embeds=image_embeds,
+                               embeds_cmp_mask=embeds_cmp,
+                               ids_cmp_mask=cmp_mask, patch_positions=ppos,
+                               max_new_tokens=max_new_tokens)
+
+        images = None
+        reply_patches = 0
+        if out["has_img_output"]:
+            if self.rt.adapter is not None:
+                images = self.rt.adapter.generate(
+                    out["img_gen_feat"], seed=seed,
+                    num_inference_steps=num_inference_steps)
+            # the generated image joins the context for later turns: the
+            # output resampler emits ViT-space features (seed_x.py:109-111)
+            for i in range(out["num_gen_imgs"]):
+                reply_patches += self._add_generated(out["img_gen_feat"][i:i + 1])
+
+        self.turns.append(Turn("assistant",
+                               prompts.strip_markup(out["text"]),
+                               reply_patches))
+        return {"text": prompts.strip_markup(out["text"]),
+                "images": images,
+                "num_gen_imgs": out["num_gen_imgs"]}

@@ -11,6 +11,10 @@
       <- eval_img2edit_seed_x_edit.py
   python -m seedx_tpu.inference.eval_cli detokenize --image X [--condition Y]
       <- eval_seed_x_detokenizer.py / eval_seed_x_detokenizer_with_condition.py
+  python -m seedx_tpu.inference.eval_cli chat
+      multi-turn interleaved REPL (no reference script; format of
+      src/data/sft_clm.py).  Each stdin line is one user turn; prefix
+      "img:PATH<space>" attaches an image; "exit" quits.
 
 ``--debug`` (or env SEEDX_DEBUG=1) runs the tiny random stack so every flow
 executes without the released 17B weights (the reference DEBUG_FLAG analogue).
@@ -51,7 +55,7 @@ def _load_runtime(args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("command", choices=["img2text", "ground", "text2img",
-                                       "edit", "detokenize"])
+                                       "edit", "detokenize", "chat"])
     p.add_argument("--image")
     p.add_argument("--condition")
     p.add_argument("--question", default="What is in this image?")
@@ -99,6 +103,31 @@ def main(argv=None):
             print("saved:", _save_images(out["images"], args.out_dir, "edit"))
         else:
             print("(no image span generated)")
+    elif args.command == "chat":
+        from seedx_tpu.inference.chat import ChatSession
+
+        session = ChatSession(rt)
+        n_img = 0
+        print("chat ready — 'img:PATH text' attaches an image, 'exit' quits")
+        for line in sys.stdin:
+            line = line.strip()
+            if not line:
+                continue
+            if line in ("exit", "quit"):
+                break
+            turn_image = None
+            if line.startswith("img:"):
+                path, _, line = line[4:].partition(" ")
+                turn_image = Image.open(path).convert("RGB")
+            out = session.send(line, image=turn_image,
+                               max_new_tokens=args.max_new_tokens,
+                               num_inference_steps=args.num_inference_steps,
+                               seed=args.seed)
+            print(out["text"])
+            if out["images"] is not None:
+                n_img += len(out["images"])
+                print("saved:", _save_images(out["images"], args.out_dir,
+                                             f"chat_{n_img}"))
     elif args.command == "detokenize":
         if args.condition:
             cond = Image.open(args.condition).convert("RGB")

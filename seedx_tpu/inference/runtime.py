@@ -53,6 +53,7 @@ class SeedXRuntime:
     base_resolution: int = 448
     resolution_grids: Sequence[str] = DEFAULT_RESOLUTION_GRIDS
     vit_down: bool = True
+    mesh: Optional[Any] = None               # set by .shard()
 
     # ---- constructors ------------------------------------------------------
 
@@ -221,6 +222,66 @@ class SeedXRuntime:
                    vit_params=vit_params, agent_cfg=agent_cfg, agent=agent,
                    agent_params=agent_params, adapter=adapter,
                    base_resolution=image_size, vit_down=False)
+
+    # ---- SPMD placement ----------------------------------------------------
+
+    def shard(self, mesh: Optional[Any] = None, rules: Optional[Any] = None
+              ) -> "SeedXRuntime":
+        """Place every parameter tree on a device mesh for SPMD inference.
+
+        The serving deployment target is multi-turn chat "bf16 sharded on a
+        v5e-8 pod slice" — where the reference replicates the whole 17B stack
+        per GPU, here the agent/LLM and ViT weights shard per the logical
+        rules (embed on ``fsdp``, heads/mlp/vocab on ``tensor``) and XLA's
+        SPMD partitioner inserts the collectives; nothing in the forward
+        changes.  SDXL adapter weights stay replicated: image-side scale-out
+        rides data-parallel CFG branches, not weight sharding.
+
+        On >1-device meshes attention falls back to the XLA path (a
+        ``pallas_call`` is opaque to the partitioner); single-chip keeps the
+        Pallas flash kernel.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from seedx_tpu.models.factory import abstract_params, agent_init_fn
+        from seedx_tpu.parallel.mesh import (DEFAULT_RULES, local_mesh,
+                                             place_params)
+
+        mesh = mesh if mesh is not None else local_mesh()
+        rules = tuple(rules) if rules is not None else DEFAULT_RULES
+
+        if mesh.size > 1 and self.agent_cfg.llm.attention_impl != "xla":
+            llm_cfg = dataclasses.replace(self.agent_cfg.llm,
+                                          attention_impl="xla")
+            self.agent_cfg = dataclasses.replace(self.agent_cfg, llm=llm_cfg)
+            self.agent = ContinuousLVLM(self.agent_cfg)
+
+        dummy = jnp.zeros((1, self.vit_cfg.image_size,
+                           self.vit_cfg.image_size, 3), jnp.float32)
+        vit_abs = abstract_params(self.vit, dummy)
+        self.vit_params = place_params(self.vit_params, vit_abs, mesh, rules)
+        agent_abs = jax.eval_shape(agent_init_fn(self.agent))["params"]
+        self.agent_params = place_params(self.agent_params, agent_abs, mesh,
+                                         rules)
+
+        if self.adapter is not None:
+            rep = NamedSharding(mesh, PartitionSpec())
+            put = lambda t: jax.tree.map(
+                lambda x: jax.device_put(x, rep), t) if t is not None else None
+            self.adapter.unet_params = put(self.adapter.unet_params)
+            self.adapter.resampler_params = put(self.adapter.resampler_params)
+            self.adapter.vae_decoder_params = put(
+                self.adapter.vae_decoder_params)
+            self.adapter.vae_encoder_params = put(
+                self.adapter.vae_encoder_params)
+            if self.adapter.visual_encoder is self.vit:
+                self.adapter.visual_encoder_params = self.vit_params
+            else:
+                self.adapter.visual_encoder_params = put(
+                    self.adapter.visual_encoder_params)
+
+        self.mesh = mesh
+        return self
 
     # ---- vision ------------------------------------------------------------
 

@@ -86,22 +86,29 @@ class SDXLAdapter:
         return self.resampler.apply({"params": self.resampler_params},
                                     image_embeds)
 
-    def negative_image_embeds(self, batch: int, image_size: int = 448):
-        """A zeros image through the visual encoder (+ vit_down pooling) —
-        the CFG negative (reference: adapter_modules.py:104-116)."""
+    def negative_image_embeds(self, batch: int, image_size: int = 448,
+                              pool: bool = True):
+        """A zeros image through the visual encoder — the CFG negative.
+
+        ``pool`` mirrors the reference's provenance rule
+        (adapter_modules.py:96-116): when the POSITIVE conditioning is LLM
+        features (64 tokens) the zeros-image ViT output is vit_down-pooled to
+        match; when the positive is raw ViT features (256 tokens,
+        ``image_tensor`` path) the negative stays unpooled."""
         assert self.visual_encoder is not None, "init with visual encoder"
         zeros = jnp.zeros((1, image_size, image_size, 3), jnp.bfloat16)
         neg = self.visual_encoder.apply(
             {"params": self.visual_encoder_params}, zeros)
-        if self.cfg.vit_down:
+        if pool and self.cfg.vit_down:
             neg = vit_downsample(neg)
         return jnp.broadcast_to(neg, (batch, *neg.shape[1:]))
 
     def get_conditioning(self, image_embeds: jnp.ndarray,
-                         negative_embeds: Optional[jnp.ndarray] = None):
+                         negative_embeds: Optional[jnp.ndarray] = None,
+                         from_vit: bool = False):
         b = image_embeds.shape[0]
         if negative_embeds is None:
-            negative_embeds = self.negative_image_embeds(b)
+            negative_embeds = self.negative_image_embeds(b, pool=not from_vit)
         both = jnp.concatenate([image_embeds, negative_embeds])
         prompt, pooled = self.encode_image_embeds(both)
         return (prompt[:b], prompt[b:], pooled[:b], pooled[b:])
@@ -124,12 +131,16 @@ class SDXLAdapter:
     def generate(self, image_embeds: jnp.ndarray,
                  latent_image: Optional[jnp.ndarray] = None,
                  negative_embeds: Optional[jnp.ndarray] = None,
+                 from_vit: bool = False,
                  seed: int = 42,
                  num_inference_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None,
                  image_guidance_scale: Optional[float] = None) -> np.ndarray:
         """image_embeds [B, T, 4096] -> images [B, H, W, 3] float32 in [0,1].
 
+        from_vit: conditioning is raw ViT features (detokenizer recon path)
+        rather than LLM output-resampler features — selects the unpooled CFG
+        negative (reference: adapter_modules.py:96-116).
         latent_image: condition image [B, H, W, 3] in [-1, 1] (edit variant,
         VAE-encoded with the mode — reference pipeline...py:523).
         """
@@ -142,7 +153,7 @@ class SDXLAdapter:
         b = image_embeds.shape[0]
 
         prompt, neg_prompt, pooled, neg_pooled = self.get_conditioning(
-            image_embeds, negative_embeds)
+            image_embeds, negative_embeds, from_vit=from_vit)
         rng = jax.random.PRNGKey(seed)
         latents = prepare_latents(rng, b, cfg, schedule)
         time_ids = default_time_ids(cfg, b)

@@ -126,6 +126,32 @@ def build_llm_config(
                       **overrides)
 
 
+def agent_init_fn(model):
+    """Zero-arg init closure for a ContinuousLVLM with the canonical dummy
+    ceremony (one image slot, one forced image span).  Used for real init,
+    for abstract shape derivation, and — via ``jax.eval_shape`` — to recover
+    the boxed logical-axis annotations needed to shard loaded parameters."""
+    cfg = model.cfg
+    B, S, N = 1, 80, 1
+    t = 4 * cfg.num_img_out_tokens if cfg.vit_down else cfg.num_img_out_tokens
+    ids = jnp.zeros((B, S), jnp.int32)
+    attn = jnp.ones((B, S), bool)
+    img = jnp.zeros((N, t, cfg.vit_dim), jnp.bfloat16)
+    fmask = jnp.zeros((N,), bool)
+    idsm = jnp.zeros((B, S), bool).at[0, 1:1 + cfg.num_img_out_tokens].set(True)
+    return lambda: model.init(
+        jax.random.PRNGKey(0), ids, attn, jnp.where(attn, ids, -100), img,
+        fmask, fmask, idsm, idsm, jnp.full((N, 2), 0.5), method="init_all")
+
+
+def abstract_params(model, *init_args, method=None) -> Any:
+    """Boxed abstract param tree (ShapeDtypeStructs + logical axis metadata)
+    for any flax module — the sharding-spec source for loaded checkpoints."""
+    kw = {"method": method} if method else {}
+    return jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), *init_args, **kw))["params"]
+
+
 def build_agent(
     llm: Any,
     pretrained_llm_path: Optional[str] = None,
@@ -154,17 +180,7 @@ def build_agent(
         num_img_out_tokens=num_img_out_tokens,
         resampler_heads=32 if not _debug_mode() else 4)
     model = ContinuousLVLM(cfg)
-
-    B, S, N = 1, 80, 1
-    t = 4 * num_img_out_tokens if vit_down else num_img_out_tokens
-    ids = jnp.zeros((B, S), jnp.int32)
-    attn = jnp.ones((B, S), bool)
-    img = jnp.zeros((N, t, vit_dim), jnp.bfloat16)
-    fmask = jnp.zeros((N,), bool)
-    idsm = jnp.zeros((B, S), bool).at[0, 1:1 + num_img_out_tokens].set(True)
-    init_fn = lambda: model.init(
-        jax.random.PRNGKey(0), ids, attn, jnp.where(attn, ids, -100), img,
-        fmask, fmask, idsm, idsm, jnp.full((N, 2), 0.5), method="init_all")
+    init_fn = agent_init_fn(model)
 
     from flax import linen as nn
 

@@ -119,6 +119,20 @@ def shard_pytree(tree: Any, mesh: Mesh,
     )
 
 
+def place_params(raw_tree: Any, boxed_abstract: Any, mesh: Mesh,
+                 rules: Sequence[Tuple[str, Any]] = DEFAULT_RULES) -> Any:
+    """Device-put an UNBOXED param tree using the logical annotations of a
+    matching boxed abstract tree (from ``jax.eval_shape`` of the init).
+
+    The checkpoint-loading path hands around raw arrays; this recovers the
+    sharding layout that ``shard_pytree`` gets for free on freshly-init trees.
+    """
+    shardings = nn.logical_to_mesh_sharding(
+        nn.get_partition_spec(boxed_abstract), mesh, tuple(rules))
+    return jax.tree.map(lambda x, s: jax.device_put(x, s),
+                        unbox(raw_tree), shardings)
+
+
 def sharding_of(tree: Any, mesh: Mesh,
                 rules: Sequence[Tuple[str, Any]] = DEFAULT_RULES) -> Any:
     """NamedSharding pytree for a boxed param tree (for jit in/out shardings)."""

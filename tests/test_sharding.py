@@ -131,3 +131,32 @@ def test_tensor_parallel_agent_forward(tiny_agent):
 
         tp_loss = loss_fn(params)
     assert abs(float(tp_loss) - float(ref["total_loss"])) < 2e-2
+
+
+def test_sharded_runtime_inference_matches_single():
+    """SeedXRuntime.shard() places params on a fsdp x tensor mesh; greedy
+    generation must produce the same tokens as the unsharded runtime."""
+    from jax.sharding import PartitionSpec
+    from PIL import Image
+
+    from seedx_tpu.inference.runtime import SeedXRuntime
+    from seedx_tpu.parallel import create_mesh
+
+    rng = np.random.RandomState(3)
+    image = Image.fromarray(rng.randint(0, 255, (60, 60, 3), np.uint8))
+
+    from seedx_tpu.inference import apps
+
+    rt = SeedXRuntime.debug(image_size=56)
+    ref = apps.comprehend(rt, image, "what?", max_new_tokens=4)
+
+    rt2 = SeedXRuntime.debug(image_size=56)
+    mesh = create_mesh(data=1, fsdp=4, tensor=2)
+    rt2.shard(mesh)
+    assert rt2.mesh is mesh
+    assert rt2.agent_cfg.llm.attention_impl == "xla"
+    qk = rt2.agent_params["llm"]["model"]["layers"]["layer"]["q_proj"]["kernel"]
+    assert qk.sharding.spec == PartitionSpec(None, "fsdp", "tensor")
+
+    out = apps.comprehend(rt2, image, "what?", max_new_tokens=4)
+    assert list(out["tokens"]) == list(ref["tokens"])
