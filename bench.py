@@ -61,15 +61,18 @@ def bench_vit_encode(batch_size: int = 16, iters: int = 10, warmup: int = 2):
 
 
 def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
-                     decode_steps: int = 128, num_layers: int = 40):
-    """Greedy decode tokens/sec on the full 13B geometry, int8 weights."""
+                     decode_steps: int = 128, num_layers: int = 40,
+                     kv_quantization: str = "none",
+                     quantization: str = "int8"):
+    """Greedy decode tokens/sec on the full 13B geometry, quantized weights."""
     import numpy as np
     from flax import linen as nn
 
     from seedx_tpu.models.llama import (LlamaForCausalLM, init_kv_cache,
                                         llama2_13b)
 
-    cfg = llama2_13b(quantization="int8", num_layers=num_layers,
+    cfg = llama2_13b(quantization=quantization, num_layers=num_layers,
+                     kv_quantization=kv_quantization,
                      param_dtype=jnp.bfloat16, remat=False)
     model = LlamaForCausalLM(cfg)
 
@@ -84,6 +87,9 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
         if x.dtype == jnp.int8:
             return jax.random.randint(key, x.shape, -127, 128, jnp.int32
                                       ).astype(jnp.int8)
+        if x.dtype == jnp.uint8:   # packed int4 nibbles
+            return jax.random.randint(key, x.shape, 0, 256, jnp.int32
+                                      ).astype(jnp.uint8)
         return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
                 ).astype(x.dtype)
 
@@ -196,6 +202,14 @@ def main():
     p.add_argument("--metric", default="vit_encode",
                    choices=["vit_encode", "decode_13b", "sdxl_denoise"])
     p.add_argument("--repeats", type=int, default=2)
+    p.add_argument("--batch", type=int, default=1,
+                   help="decode_13b batch size (batched serving engine "
+                        "amortises the quantized weight stream; tokens/sec/"
+                        "chip scales near-linearly until compute-bound)")
+    p.add_argument("--quant", default=None,
+                   choices=["int8", "int8_full", "int4"],
+                   help="decode_13b weight quantization (default: int8 at "
+                        "batch 1, int4 for batched serving)")
     args = p.parse_args()
 
     if args.metric == "sdxl_denoise":
@@ -207,9 +221,19 @@ def main():
             "vs_baseline": None,
         }))
     elif args.metric == "decode_13b":
-        value = _best_of(bench_decode_13b, args.repeats)
+        # batched serving needs int4 weights + the int8 KV cache to fit the
+        # 13B + cache in one 16G chip; B=1 keeps the int8/bf16 combination
+        # for cross-round metric continuity.
+        quant = args.quant or ("int4" if args.batch > 1 else "int8")
+        kv = "int8" if args.batch > 1 else "none"
+        value = _best_of(
+            lambda: bench_decode_13b(batch_size=args.batch,
+                                     kv_quantization=kv,
+                                     quantization=quant), args.repeats)
+        name = f"llama13b_{quant}_decode" + (
+            f"_b{args.batch}_kvint8" if args.batch != 1 else "")
         print(json.dumps({
-            "metric": "llama13b_int8_decode",
+            "metric": name,
             "value": round(value, 2),
             "unit": "tokens/sec/chip",
             "vs_baseline": None,

@@ -329,3 +329,17 @@ class SeedXRuntime:
                         ids_cmp_mask=ids_cmp_mask,
                         patch_positions=patch_positions,
                         gen_cfg=gen_cfg)
+
+    def generate_batch(self, requests, max_new_tokens: int = 512, **kw):
+        """Batched serving: ONE prefill+decode launch over many request
+        dicts (see models/generation.generate_batch for the request schema).
+        The reference loops HF generate one prompt at a time."""
+        from seedx_tpu.models.generation import generate_batch
+
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            num_img_gen_tokens=self.agent_cfg.num_img_out_tokens,
+            eos_token_id=self.tokenizer.eos_token_id,
+            pad_token_id=self.tokenizer.pad_token_id, **kw)
+        return generate_batch(self.agent, {"params": self.agent_params},
+                              self.tokenizer, requests, gen_cfg=gen_cfg)

@@ -140,7 +140,8 @@ def generate_tokens(
         embeds = model.apply(variables, token[:, None], method="embed_ids")
         kv_valid = jnp.concatenate(
             [prompt_mask,
-             jnp.arange(t)[None, :] <= step_idx], axis=-1)
+             jnp.broadcast_to(jnp.arange(t)[None, :] <= step_idx,
+                              (b, t))], axis=-1)
         logits, hidden, cache = model.apply(
             variables, embeds, pos[:, None], kv_valid, cache, p + step_idx,
             method="llm_step")
@@ -162,11 +163,134 @@ def generate_tokens(
     return {"tokens": tokens, "hidden": hidden, "finished": finished}
 
 
+def _trim_and_spans(tokens: np.ndarray, gen_cfg: GenerationConfig,
+                    vocab: MultimodalVocab):
+    """Per-sequence host post-processing: eos trim + </img> span indices."""
+    eos_positions = np.where(tokens == gen_cfg.eos_token_id)[0]
+    end = int(eos_positions[0]) + 1 if eos_positions.size else len(tokens)
+    tokens = tokens[:end]
+    n_img = gen_cfg.num_img_gen_tokens
+    eoi_indices = [int(i) for i in np.where(tokens == vocab.eoi)[0]
+                   if i >= n_img]
+    return tokens, eoi_indices
+
+
+def generate_batch(
+    model: ContinuousLVLM,
+    variables: Any,
+    tokenizer,
+    requests,                        # list of per-prompt dicts (see below)
+    gen_cfg: Optional[GenerationConfig] = None,
+    rng: Optional[jnp.ndarray] = None,
+):
+    """Batched generation: ONE prefill+decode launch for many prompts.
+
+    The reference's HF ``generate`` loop is strictly single-prompt
+    (eval_img2text_seed_x_i.py); here the jitted engine is batch-native and
+    only the span bookkeeping is per-row.  Every request is a dict:
+
+      {"input_ids": list[int],
+       "image_embeds":     [N_i, T, vit_dim] or None,
+       "embeds_cmp_mask":  [N_i] bool or None,
+       "ids_cmp_mask":     [S_i] bool or None,
+       "patch_positions":  [N_i, 2] or None}
+
+    Prompts are left-padded to one shared bucket; per-request image tiles are
+    concatenated in batch order, matching the batch-major scatter in
+    ``embed_with_images``.  Returns a list of per-request result dicts with
+    the same contract as ``generate``.
+    """
+    vocab = tokenizer.vocab
+    gen_cfg = gen_cfg or GenerationConfig(eos_token_id=tokenizer.eos_token_id,
+                                          pad_token_id=tokenizer.pad_token_id)
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    b = len(requests)
+    lens = [len(r["input_ids"]) for r in requests]
+    s_max = max(lens)
+    bucket = next((x for x in gen_cfg.prompt_buckets if x >= s_max), s_max)
+
+    ids_padded = np.full((b, bucket), gen_cfg.pad_token_id, np.int32)
+    mask = np.zeros((b, bucket), bool)
+    cmp_padded = np.zeros((b, bucket), bool)
+    any_cmp = False
+    for i, r in enumerate(requests):
+        s = lens[i]
+        ids_padded[i, bucket - s:] = np.asarray(r["input_ids"], np.int32)
+        mask[i, bucket - s:] = True
+        cm = r.get("ids_cmp_mask")
+        if cm is not None:
+            cmp_padded[i, bucket - s:] = np.asarray(cm, bool)
+            any_cmp = True
+
+    img_parts = [r["image_embeds"] for r in requests
+                 if r.get("image_embeds") is not None]
+    image_embeds = jnp.concatenate(img_parts) if img_parts else None
+    embeds_cmp = patch_pos = None
+    if image_embeds is not None:
+        embeds_cmp = np.concatenate(
+            [np.asarray(r["embeds_cmp_mask"], bool) for r in requests
+             if r.get("image_embeds") is not None])
+        pp_parts = [r.get("patch_positions") for r in requests
+                    if r.get("image_embeds") is not None]
+        if all(p is not None for p in pp_parts):
+            patch_pos = jnp.concatenate([jnp.asarray(p) for p in pp_parts])
+
+    prompt_embeds = model.apply(
+        variables, jnp.asarray(ids_padded),
+        image_embeds,
+        jnp.asarray(cmp_padded) if any_cmp else None,
+        jnp.asarray(embeds_cmp) if embeds_cmp is not None else None,
+        patch_pos,
+        method="embed_with_images")
+
+    last_tokens = np.asarray([r["input_ids"][-1] for r in requests], np.int32)
+    out = generate_tokens(model, variables, prompt_embeds, jnp.asarray(mask),
+                          jnp.asarray(last_tokens), rng, gen_cfg, vocab)
+    all_tokens = np.asarray(out["tokens"])
+
+    # Per-row span bookkeeping; ONE output-resampler launch for all spans.
+    n_img = gen_cfg.num_img_gen_tokens
+    rows = []
+    span_list = []
+    for i in range(b):
+        tokens, eoi_indices = _trim_and_spans(all_tokens[i], gen_cfg, vocab)
+        rows.append((tokens, eoi_indices))
+        span_list.extend((i, j) for j in eoi_indices)
+    img_gen_all = None
+    if span_list:
+        spans = jnp.stack([out["hidden"][i, j - n_img:j]
+                           for i, j in span_list])
+        img_gen_all = model.apply(variables, spans,
+                                  method="decode_image_feats")
+
+    results = []
+    consumed = 0
+    for tokens, eoi_indices in rows:
+        img_gen_feat = None
+        if eoi_indices:
+            img_gen_feat = img_gen_all[consumed:consumed + len(eoi_indices)]
+            consumed += len(eoi_indices)
+        # Text: drop forced image tokens and <img> markers (seed_x.py:201-215).
+        text_mask = np.ones(len(tokens), bool)
+        for j in eoi_indices:
+            text_mask[j - n_img:j] = False
+        text_mask[tokens == vocab.boi] = False
+        results.append({
+            "text": tokenizer.decode(tokens[text_mask]),
+            "has_img_output": bool(eoi_indices),
+            "img_gen_feat": img_gen_feat,
+            "num_gen_imgs": len(eoi_indices),
+            "tokens": tokens,
+        })
+    return results
+
+
 def generate(
     model: ContinuousLVLM,
     variables: Any,
     tokenizer,
-    input_ids,                       # list[int] or [B, S] array
+    input_ids,                       # list[int] or [1, S] array
     image_embeds: Optional[jnp.ndarray] = None,
     embeds_cmp_mask: Optional[np.ndarray] = None,
     ids_cmp_mask: Optional[np.ndarray] = None,
@@ -176,79 +300,24 @@ def generate(
 ) -> Dict[str, Any]:
     """Host-side orchestration mirroring ``ContinuousLVLM.generate``
     (reference: seed_x.py:130-223).  Returns {text, has_img_output,
-    img_gen_feat, num_gen_imgs}.
+    img_gen_feat, num_gen_imgs}.  Single-prompt sugar over
+    ``generate_batch``.
     """
-    vocab = tokenizer.vocab
-    gen_cfg = gen_cfg or GenerationConfig(eos_token_id=tokenizer.eos_token_id,
-                                          pad_token_id=tokenizer.pad_token_id)
-    rng = rng if rng is not None else jax.random.PRNGKey(0)
-
     ids = np.asarray(input_ids)
-    if ids.ndim == 1:
-        ids = ids[None]
-    b, s = ids.shape
-    if b != 1:
-        # the reference inference scripts are single-prompt too
-        # (eval_img2text_seed_x_i.py); batched serving needs per-sequence
-        # span extraction — tracked for the serving engine.
-        raise NotImplementedError("generate() host post-processing is "
-                                  "single-prompt; run prompts separately")
-
-    # Left-pad to the smallest bucket >= s (static shapes for jit reuse).
-    bucket = next((x for x in gen_cfg.prompt_buckets if x >= s), s)
-    pad = bucket - s
-    ids_padded = np.concatenate(
-        [np.full((b, pad), gen_cfg.pad_token_id, ids.dtype), ids], axis=1)
-    mask = np.concatenate(
-        [np.zeros((b, pad), bool), np.ones((b, s), bool)], axis=1)
-    cmp_mask_padded = None
-    if ids_cmp_mask is not None:
-        cm = np.asarray(ids_cmp_mask)
-        if cm.ndim == 1:
-            cm = cm[None]
-        cmp_mask_padded = np.concatenate(
-            [np.zeros((b, pad), bool), cm], axis=1)
-
-    prompt_embeds = model.apply(
-        variables, jnp.asarray(ids_padded),
-        image_embeds,
-        jnp.asarray(cmp_mask_padded) if cmp_mask_padded is not None else None,
-        jnp.asarray(embeds_cmp_mask) if embeds_cmp_mask is not None else None,
-        patch_positions,
-        method="embed_with_images")
-
-    out = generate_tokens(model, variables, prompt_embeds, jnp.asarray(mask),
-                          jnp.asarray(ids[:, -1]), rng, gen_cfg, vocab)
-    tokens = np.asarray(out["tokens"])[0]
-    hidden = out["hidden"][0]
-
-    # Trim at eos.
-    eos_positions = np.where(tokens == gen_cfg.eos_token_id)[0]
-    end = int(eos_positions[0]) + 1 if eos_positions.size else len(tokens)
-    tokens = tokens[:end]
-
-    # Collect image spans: 64 hidden states before each </img>
-    # (reference: seed_x.py:199-210).
-    eoi_indices = np.where(tokens == vocab.eoi)[0]
-    n_img = gen_cfg.num_img_gen_tokens
-    eoi_indices = [i for i in eoi_indices if i >= n_img]
-    img_gen_feat = None
-    if eoi_indices:
-        spans = jnp.stack([hidden[i - n_img:i] for i in eoi_indices])
-        img_gen_feat = model.apply(variables, spans, method="decode_image_feats")
-
-    # Text: drop forced image tokens and <img> markers (seed_x.py:201-215).
-    text_mask = np.ones(len(tokens), bool)
-    for i in eoi_indices:
-        text_mask[i - n_img:i] = False
-    text_mask[tokens == vocab.boi] = False
-    text_tokens = tokens[text_mask]
-    text = tokenizer.decode(text_tokens)
-
-    return {
-        "text": text,
-        "has_img_output": bool(eoi_indices),
-        "img_gen_feat": img_gen_feat,
-        "num_gen_imgs": len(eoi_indices),
-        "tokens": tokens,
+    if ids.ndim == 2:
+        if ids.shape[0] != 1:
+            raise ValueError("generate() is single-prompt; use "
+                             "generate_batch for multiple prompts")
+        ids = ids[0]
+    cm = np.asarray(ids_cmp_mask) if ids_cmp_mask is not None else None
+    if cm is not None and cm.ndim == 2:
+        cm = cm[0]
+    request = {
+        "input_ids": list(ids),
+        "image_embeds": image_embeds,
+        "embeds_cmp_mask": embeds_cmp_mask,
+        "ids_cmp_mask": cm,
+        "patch_positions": patch_positions,
     }
+    return generate_batch(model, variables, tokenizer, [request],
+                          gen_cfg=gen_cfg, rng=rng)[0]

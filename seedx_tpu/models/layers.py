@@ -78,14 +78,43 @@ class LoRADense(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.0
-    quantize: str = "none"            # "none" | "int8"
+    quantize: str = "none"            # "none" | "int8" | "int8_full" | "int4"
+    quantize_group: int = 128         # int4 group size along the in dim
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     kernel_init: Initializer = default_init
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        if self.quantize == "int8":
+        if self.quantize == "int4":
+            # Nibble-packed halves + group scales (layout documented at
+            # utils/quantize.quantize_kernel_int4).  Weight HBM traffic is
+            # the decode bound; int4 halves it again over int8.
+            n_in = x.shape[-1]
+            group = self.quantize_group if n_in % self.quantize_group == 0 \
+                else n_in
+            half = self.features // 2
+            kernel_q = self.param(
+                "kernel_q4",
+                _part(nn.initializers.zeros_init(), self.kernel_axes),
+                (n_in, half), jnp.uint8)
+            kernel_scale = self.param(
+                "kernel_scale",
+                _part(nn.initializers.ones_init(), (None, self.kernel_axes[1])),
+                (n_in // group, self.features), jnp.float32)
+
+            def dq(nibbles, s):
+                w = (nibbles.astype(jnp.int8) - 8).astype(self.dtype)
+                w = w.reshape(n_in // group, group, half) \
+                    * s[:, None, :].astype(self.dtype)
+                return w.reshape(n_in, half)
+
+            wl = dq(kernel_q & 0xF, kernel_scale[:, :half])
+            wh = dq(kernel_q >> 4, kernel_scale[:, half:])
+            xb = x.astype(self.dtype)
+            y = jnp.concatenate([jnp.dot(xb, wl), jnp.dot(xb, wh)], axis=-1)
+            return self._finish(x, y)
+        if self.quantize.startswith("int8"):
             kernel_q = self.param(
                 "kernel_q",
                 _part(nn.initializers.zeros_init(), self.kernel_axes),

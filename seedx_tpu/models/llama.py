@@ -49,7 +49,13 @@ class LlamaConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.05
-    quantization: str = "none"   # "none" | "int8" weight-only (serving)
+    # "none" | "int8" (projection weights) | "int8_full" (also the embedding
+    # table + lm_head — frees another ~330M of a 16G chip for batched decode)
+    # | "int4" (nibble-packed projections with group scales, embedding +
+    # lm_head int8 — the 13B weight stream drops to ~6.6G, unlocking batched
+    # serving on one 16G chip)
+    quantization: str = "none"
+    kv_quantization: str = "none"  # "none" | "int8" KV cache (serving)
     attention_impl: str = "auto"
     remat: bool = True
     scan_layers: bool = True
@@ -76,15 +82,37 @@ def llama_debug(**overrides) -> LlamaConfig:
     return LlamaConfig(**kw)
 
 
-# KV cache: per-layer stacked (k, v) of shape [layers, batch, max_len, kv_heads, head_dim].
-KVCache = Tuple[jnp.ndarray, jnp.ndarray]
+# KV cache: per-layer stacked (k, v) stored FLAT as [layers, batch, max_len,
+# kv_heads * head_dim] — the fused trailing dim keeps seq in the sublane
+# tile and heads*dim in lanes, so no batch size hits TPU tiling padding (a
+# [.., batch, .., heads, dim] layout put batch in sublanes and 2x-padded
+# small serving batches).  The per-head view is a free row-major reshape.
+# int8 quantization (kv_quantization="int8") adds per-(position, head)
+# scales and halves both cache footprint and per-step read traffic; decode
+# is HBM-bandwidth bound, and on a 16G v5e the bf16 cache is exactly what
+# keeps a batched 13B from fitting.
+KVCache = Tuple[jnp.ndarray, ...]
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=None) -> KVCache:
     dtype = dtype or cfg.dtype
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+    flat = (cfg.num_layers, batch, max_len,
+            cfg.num_kv_heads * cfg.head_dim)
+    if cfg.kv_quantization == "int8":
+        sshape = flat[:-1] + (cfg.num_kv_heads,)
+        return (jnp.zeros(flat, jnp.int8), jnp.zeros(flat, jnp.int8),
+                jnp.zeros(sshape, dtype), jnp.zeros(sshape, dtype))
+    return jnp.zeros(flat, dtype), jnp.zeros(flat, dtype)
+
+
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-(position, head) int8: scale = amax/127 over head_dim."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale.astype(x.dtype)
 
 
 class LlamaBlock(nn.Module):
@@ -126,12 +154,36 @@ class LlamaBlock(nn.Module):
 
         new_cache = None
         if layer_cache is not None:
-            ck, cv = layer_cache
-            ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype),
-                                              (0, cache_index, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype),
-                                              (0, cache_index, 0, 0))
-            new_cache = (ck, cv)
+            nh, hd = cfg.num_kv_heads, cfg.head_dim
+            at = (0, cache_index, 0)
+            if len(layer_cache) == 4:      # int8 cache + per-entry scales
+                ck, cv, ks, vs = layer_cache
+                max_len = ck.shape[1]
+                kq, ksc = quantize_kv(k)
+                vq, vsc = quantize_kv(v)
+                ck = jax.lax.dynamic_update_slice(ck, kq.reshape(b, s, -1), at)
+                cv = jax.lax.dynamic_update_slice(cv, vq.reshape(b, s, -1), at)
+                ks = jax.lax.dynamic_update_slice(
+                    ks, ksc.astype(ks.dtype).reshape(b, s, -1), at)
+                vs = jax.lax.dynamic_update_slice(
+                    vs, vsc.astype(vs.dtype).reshape(b, s, -1), at)
+                new_cache = (ck, cv, ks, vs)
+                # dequant fuses into the attention consumer: HBM reads stay
+                # int8, the MXU sees bf16.
+                ck = (ck.reshape(b, max_len, nh, hd).astype(cfg.dtype)
+                      * ks.reshape(b, max_len, nh, 1).astype(cfg.dtype))
+                cv = (cv.reshape(b, max_len, nh, hd).astype(cfg.dtype)
+                      * vs.reshape(b, max_len, nh, 1).astype(cfg.dtype))
+            else:
+                ck, cv = layer_cache
+                max_len = ck.shape[1]
+                ck = jax.lax.dynamic_update_slice(
+                    ck, k.astype(ck.dtype).reshape(b, s, -1), at)
+                cv = jax.lax.dynamic_update_slice(
+                    cv, v.astype(cv.dtype).reshape(b, s, -1), at)
+                new_cache = (ck, cv)
+                ck = ck.reshape(b, max_len, nh, hd)
+                cv = cv.reshape(b, max_len, nh, hd)
             attn = dot_product_attention(
                 q, ck, cv, kv_valid=kv_valid, causal=s > 1,
                 q_offset=cache_index if s > 1 else None,
@@ -178,6 +230,20 @@ class Embedder(nn.Module):
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        if cfg.quantization in ("int8_full", "int4"):
+            table_q = self.param(
+                "embedding_q",
+                nn.with_logical_partitioning(nn.initializers.zeros_init(),
+                                             ("vocab", "embed")),
+                (cfg.vocab_size, cfg.hidden_size), jnp.int8)
+            scale = self.param(
+                "embedding_scale",
+                nn.with_logical_partitioning(nn.initializers.ones_init(),
+                                             ("vocab",)),
+                (cfg.vocab_size,), jnp.float32)
+            rows = jnp.take(table_q, input_ids, axis=0).astype(cfg.dtype)
+            return rows * jnp.take(scale, input_ids,
+                                   axis=0)[..., None].astype(cfg.dtype)
         table = self.param(
             "embedding",
             nn.with_logical_partitioning(default_init, ("vocab", "embed")),
@@ -242,8 +308,11 @@ class LlamaForCausalLM(nn.Module):
     def setup(self):
         self.embed_tokens = Embedder(self.cfg)
         self.model = LlamaModel(self.cfg)
-        self.lm_head = PDense(
+        # LoRADense(rank=0) == PDense + the int8 path (param names identical).
+        self.lm_head = LoRADense(
             self.cfg.vocab_size, kernel_axes=("embed", "vocab"), use_bias=False,
+            quantize="int8" if self.cfg.quantization in ("int8_full", "int4")
+            else "none",
             dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype)
 
     def embed(self, input_ids):

@@ -32,18 +32,77 @@ def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return q, scale
 
 
-def quantize_llama_params(params: Any) -> Any:
-    """Full-precision llama subtree -> int8 layout (numpy in/out)."""
+def quantize_kernel_int4(kernel: np.ndarray, group: int = 128
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """[in, out] or scan-stacked [layers, in, out] ->
+    (packed uint8 [..., in, out//2], group scales fp32 [..., in//group, out]).
+
+    Packing puts the two OUT-HALVES of the matrix in the lo/hi nibbles
+    (lo = W[:, :out//2], hi = W[:, out//2:]) rather than interleaving — the
+    dequant producer of each half is pure elementwise ops that XLA can fuse
+    into two MXU dots, with no fusion-breaking interleave reshape.  Symmetric
+    absmax per (input-group, out-channel): scale = absmax/7, codes in [1, 15]
+    (value + 8)."""
+    kernel = np.asarray(kernel, np.float32)
+    *lead, n_in, n_out = kernel.shape
+    assert n_out % 2 == 0, "out dim must be even to nibble-pack"
+    if n_in % group:
+        group = n_in
+    g = kernel.reshape(*lead, n_in // group, group, n_out)
+    absmax = np.maximum(np.abs(g).max(axis=-2), 1e-8)
+    scale = (absmax / 7.0).astype(np.float32)       # [..., in//g, out]
+    q = np.clip(np.round(g / scale[..., None, :]), -7, 7).astype(np.int8)
+    q = q.reshape(*lead, n_in, n_out) + 8           # biased codes [1, 15]
+    lo, hi = q[..., :n_out // 2], q[..., n_out // 2:]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    return packed, scale
+
+
+def quantize_embedding(table: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """[vocab, hidden] -> (int8 table, per-ROW fp32 scale [vocab]) —
+    per-token scaling (each gathered row dequantizes with its own scale)."""
+    table = np.asarray(table, np.float32)
+    absmax = np.maximum(np.abs(table).max(axis=-1), 1e-8)
+    scale = (absmax / 127.0).astype(np.float32)
+    q = np.clip(np.round(table / scale[:, None]), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def quantize_llama_params(params: Any, full: bool = False,
+                          mode: str = None) -> Any:
+    """Full-precision llama subtree -> quantized layout (numpy in/out).
+
+    mode:
+      * "int8"      — projections int8 (default; ``full=False``),
+      * "int8_full" — + embedding (per-row) and lm_head (``full=True``),
+      * "int4"      — projections nibble-packed int4 with group scales;
+        embedding + lm_head int8 (matches LlamaConfig(quantization="int4")).
+    """
+    mode = mode or ("int8_full" if full else "int8")
+    full = mode in ("int8_full", "int4")
     flat = traverse_util.flatten_dict(params, sep="/")
     out = {}
     for k, v in flat.items():
         parts = k.split("/")
+        base = "/".join(parts[:-1])
         if (len(parts) >= 2 and parts[-1] == "kernel"
                 and parts[-2] in QUANT_TARGETS):
+            if mode == "int4":
+                q, scale = quantize_kernel_int4(np.asarray(v))
+                out[base + "/kernel_q4"] = q
+            else:
+                q, scale = quantize_kernel(np.asarray(v))
+                out[base + "/kernel_q"] = q
+            out[base + "/kernel_scale"] = scale
+        elif full and len(parts) >= 2 and parts[-1] == "kernel" \
+                and parts[-2] == "lm_head":
             q, scale = quantize_kernel(np.asarray(v))
-            base = "/".join(parts[:-1])
             out[base + "/kernel_q"] = q
             out[base + "/kernel_scale"] = scale
+        elif full and parts[-1] == "embedding":
+            q, scale = quantize_embedding(np.asarray(v))
+            out[base + "/embedding_q"] = q
+            out[base + "/embedding_scale"] = scale
         else:
             out[k] = v
     return traverse_util.unflatten_dict(out, sep="/")

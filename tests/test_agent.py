@@ -141,3 +141,58 @@ def test_generate_forced_image_span(tiny_agent, tiny_agent_cfg):
     assert res["has_img_output"]
     assert res["num_gen_imgs"] == 1
     assert res["img_gen_feat"].shape == (1, cfg.num_img_out_tokens, cfg.vit_dim)
+
+
+def test_generate_batch_matches_single(tiny_agent, tiny_agent_cfg):
+    """ONE batched launch must reproduce each single-prompt result row-for-row
+    (greedy; rows are independent under the per-row kv masks)."""
+    from seedx_tpu.models.generation import generate_batch
+
+    model, variables = tiny_agent
+    cfg = tiny_agent_cfg
+    tok = ByteFallbackTokenizer()
+    v = tok.vocab
+    n = 4
+    gen_cfg = GenerationConfig(max_new_tokens=n + 2, num_img_gen_tokens=n,
+                               prompt_buckets=(128,))
+
+    prompt = prompts.comprehension_prompt("what?", num_patches=1)
+    img_ids = [tok.bos_token_id] + tok.encode(prompt)
+    image_embeds = jax.random.normal(jax.random.PRNGKey(0),
+                                     (1, 256, cfg.vit_dim), jnp.bfloat16)
+    requests = [
+        {"input_ids": img_ids,
+         "image_embeds": image_embeds,
+         "embeds_cmp_mask": np.array([True]),
+         "ids_cmp_mask": prompts.cmp_mask_from_ids(img_ids),
+         "patch_positions": jnp.full((1, 2), 0.5)},
+        {"input_ids": [tok.bos_token_id] + tok.encode("hello world")},
+        {"input_ids": [tok.bos_token_id] + tok.encode("make: ") + [v.boi]},
+    ]
+    batched = generate_batch(model, variables, tok, requests, gen_cfg=gen_cfg)
+    assert len(batched) == 3
+
+    singles = [
+        generate(model, variables, tok, requests[0]["input_ids"],
+                 image_embeds=image_embeds,
+                 embeds_cmp_mask=np.array([True]),
+                 ids_cmp_mask=requests[0]["ids_cmp_mask"],
+                 patch_positions=jnp.full((1, 2), 0.5), gen_cfg=gen_cfg),
+        generate(model, variables, tok, requests[1]["input_ids"],
+                 gen_cfg=gen_cfg),
+        generate(model, variables, tok, requests[2]["input_ids"],
+                 gen_cfg=gen_cfg),
+    ]
+    for got, want in zip(batched, singles):
+        assert list(got["tokens"]) == list(want["tokens"])
+        assert got["text"] == want["text"]
+        assert got["num_gen_imgs"] == want["num_gen_imgs"]
+    # the forced-span row produced its image features inside the batch
+    assert batched[2]["has_img_output"]
+    assert batched[2]["img_gen_feat"].shape == (
+        1, cfg.num_img_out_tokens, cfg.vit_dim)
+    # bf16: batch-size-dependent reduction tiling shifts the last ULP
+    np.testing.assert_allclose(
+        np.asarray(batched[2]["img_gen_feat"], np.float32),
+        np.asarray(singles[2]["img_gen_feat"], np.float32),
+        atol=2e-3)

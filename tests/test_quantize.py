@@ -89,3 +89,143 @@ def test_merge_lora_equals_lora_forward():
     np.testing.assert_allclose(np.asarray(ref, np.float32),
                                np.asarray(out, np.float32), atol=5e-2,
                                rtol=1e-2)
+
+
+def test_int8_kv_cache_decode_matches_bf16():
+    """int8 KV cache (per-position/head absmax scales) must track the bf16
+    cache through prefill + several decode steps — same params, same inputs."""
+    from flax import linen as nn
+
+    from seedx_tpu.models.llama import init_kv_cache
+
+    cfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                      num_heads=4, num_kv_heads=4)
+    qcfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                       num_heads=4, num_kv_heads=4, kv_quantization="int8")
+    model = LlamaForCausalLM(cfg)
+    qmodel = LlamaForCausalLM(qcfg)
+
+    B, P, T = 2, 16, 8
+    total = P + T
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, P), 0, cfg.vocab_size)
+    positions = jnp.broadcast_to(jnp.arange(P), (B, P))
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), ids, positions,
+                                      method="init_all")["params"])
+    embeds = model.apply({"params": params}, ids, method="embed")
+
+    def run(m, c):
+        cache = init_kv_cache(c, B, total)
+        kv_valid = jnp.arange(total)[None, :] < P
+        logits, _, cache = m.apply({"params": params}, embeds, positions,
+                                   kv_valid, cache, 0)
+        toks = [jnp.argmax(logits[:, -1], -1)]
+        for t in range(T - 1):
+            emb = m.apply({"params": params}, toks[-1][:, None],
+                          method="embed")
+            kv_valid = jnp.arange(total)[None, :] < P + t + 1
+            lg, _, cache = m.apply({"params": params}, emb,
+                                   jnp.full((B, 1), P + t), kv_valid, cache,
+                                   P + t)
+            toks.append(jnp.argmax(lg[:, 0], -1))
+        return np.stack([np.asarray(t) for t in toks], 1)
+
+    ref = run(model, cfg)
+    out = run(qmodel, qcfg)
+    # greedy token streams agree (int8 cache error ~0.4% of amax per entry)
+    assert (ref == out).mean() > 0.85
+
+    qc = init_kv_cache(qcfg, B, total)
+    assert len(qc) == 4 and qc[0].dtype == jnp.int8
+    # flat [layers, batch, max_len, heads*dim] + per-head scales
+    assert qc[0].shape == (2, B, total, 128)
+    assert qc[2].shape == (2, B, total, 4)
+
+
+def test_int8_full_llama_matches_fp():
+    """int8_full (projections + embedding + lm_head) still tracks the fp
+    forward: same params quantized with full=True, argmax agreement high."""
+    from flax import linen as nn
+
+    cfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                      num_heads=4, num_kv_heads=4)
+    qcfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                       num_heads=4, num_kv_heads=4, quantization="int8_full")
+    model = LlamaForCausalLM(cfg)
+    qmodel = LlamaForCausalLM(qcfg)
+
+    B, S = 1, 16
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, S), 0, cfg.vocab_size)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), ids, positions,
+                                      method="init_all")["params"])
+    qparams = jax.tree.map(jnp.asarray, quantize_llama_params(
+        jax.tree.map(np.asarray, params), full=True))
+
+    # quantized embedding path replaces .embed too
+    embeds = model.apply({"params": params}, ids, method="embed")
+    qembeds = qmodel.apply({"params": qparams}, ids, method="embed")
+    np.testing.assert_allclose(np.asarray(embeds, np.float32),
+                               np.asarray(qembeds, np.float32), atol=2e-3)
+
+    ref, _, _ = model.apply({"params": params}, embeds, positions,
+                            jnp.ones((B, S), bool))
+    out, _, _ = qmodel.apply({"params": qparams}, qembeds, positions,
+                             jnp.ones((B, S), bool))
+    ref = np.asarray(ref, np.float32)
+    out = np.asarray(out, np.float32)
+    assert np.mean(np.abs(ref - out)) < 0.15
+    assert (ref.argmax(-1) == out.argmax(-1)).mean() > 0.9
+
+
+def test_int4_kernel_roundtrip():
+    """Pack/unpack identity: the layer's dequant must reproduce
+    quantize_kernel_int4's codes exactly."""
+    from seedx_tpu.utils.quantize import quantize_kernel_int4
+
+    rng = np.random.default_rng(0)
+    w = rng.normal(size=(256, 64)).astype(np.float32)
+    packed, scale = quantize_kernel_int4(w, group=128)
+    assert packed.shape == (256, 32) and packed.dtype == np.uint8
+    assert scale.shape == (2, 64)
+    # manual dequant, mirroring the LoRADense int4 branch
+    lo = (packed & 0xF).astype(np.int8) - 8
+    hi = (packed >> 4).astype(np.int8) - 8
+    q = np.concatenate([lo, hi], axis=-1).astype(np.float32)
+    rec = (q.reshape(2, 128, 64) * scale[:, None, :]).reshape(256, 64)
+    # absmax/7 symmetric: error bounded by scale/2
+    gmax = np.repeat(scale, 128, axis=0)
+    assert np.all(np.abs(rec - w) <= gmax * 0.5 + 1e-6)
+
+
+def test_int4_llama_matches_fp():
+    """int4 projections + int8 embed/lm_head still track the fp forward
+    well enough for greedy agreement on most positions."""
+    from flax import linen as nn
+
+    cfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                      num_heads=4, num_kv_heads=4)
+    qcfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                       num_heads=4, num_kv_heads=4, quantization="int4")
+    model = LlamaForCausalLM(cfg)
+    qmodel = LlamaForCausalLM(qcfg)
+
+    B, S = 1, 16
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, S), 0, cfg.vocab_size)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), ids, positions,
+                                      method="init_all")["params"])
+    qparams = jax.tree.map(jnp.asarray, quantize_llama_params(
+        jax.tree.map(np.asarray, params), mode="int4"))
+
+    embeds = model.apply({"params": params}, ids, method="embed")
+    qembeds = qmodel.apply({"params": qparams}, ids, method="embed")
+    ref, _, _ = model.apply({"params": params}, embeds, positions,
+                            jnp.ones((B, S), bool))
+    out, _, _ = qmodel.apply({"params": qparams}, qembeds, positions,
+                             jnp.ones((B, S), bool))
+    ref = np.asarray(ref, np.float32)
+    out = np.asarray(out, np.float32)
+    # int4 RTN is lossier than int8: bound the drift, demand majority
+    # greedy agreement (group scales keep per-weight error ~ scale/2)
+    assert np.mean(np.abs(ref - out)) < 0.5
+    assert (ref.argmax(-1) == out.argmax(-1)).mean() > 0.6
