@@ -87,32 +87,26 @@ class LoRADense(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         if self.quantize == "int4":
-            # Nibble-packed halves + group scales (layout documented at
+            # Nibble-packed block pairs + group scales (layout documented at
             # utils/quantize.quantize_kernel_int4).  Weight HBM traffic is
-            # the decode bound; int4 halves it again over int8.
+            # the decode bound; int4 halves it again over int8.  Decode-sized
+            # row counts go through the Pallas kernel (packed bytes stay
+            # packed in HBM); prefill/CPU takes the XLA unpack+dot.
+            from seedx_tpu.ops.int4_matmul import int4_matmul_auto
+
             n_in = x.shape[-1]
             group = self.quantize_group if n_in % self.quantize_group == 0 \
                 else n_in
-            half = self.features // 2
             kernel_q = self.param(
                 "kernel_q4",
                 _part(nn.initializers.zeros_init(), self.kernel_axes),
-                (n_in, half), jnp.uint8)
+                (n_in // 2, self.features), jnp.uint8)
             kernel_scale = self.param(
                 "kernel_scale",
                 _part(nn.initializers.ones_init(), (None, self.kernel_axes[1])),
                 (n_in // group, self.features), jnp.float32)
-
-            def dq(nibbles, s):
-                w = (nibbles.astype(jnp.int8) - 8).astype(self.dtype)
-                w = w.reshape(n_in // group, group, half) \
-                    * s[:, None, :].astype(self.dtype)
-                return w.reshape(n_in, half)
-
-            wl = dq(kernel_q & 0xF, kernel_scale[:, :half])
-            wh = dq(kernel_q >> 4, kernel_scale[:, half:])
-            xb = x.astype(self.dtype)
-            y = jnp.concatenate([jnp.dot(xb, wl), jnp.dot(xb, wh)], axis=-1)
+            y = int4_matmul_auto(x.astype(self.dtype), kernel_q, kernel_scale,
+                                 group=group)
             return self._finish(x, y)
         if self.quantize.startswith("int8"):
             kernel_q = self.param(

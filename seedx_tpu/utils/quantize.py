@@ -35,26 +35,29 @@ def quantize_kernel(kernel: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 def quantize_kernel_int4(kernel: np.ndarray, group: int = 128
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """[in, out] or scan-stacked [layers, in, out] ->
-    (packed uint8 [..., in, out//2], group scales fp32 [..., in//group, out]).
+    (packed uint8 [..., in//2, out], group scales fp32 [..., in//group, out]).
 
-    Packing puts the two OUT-HALVES of the matrix in the lo/hi nibbles
-    (lo = W[:, :out//2], hi = W[:, out//2:]) rather than interleaving — the
-    dequant producer of each half is pure elementwise ops that XLA can fuse
-    into two MXU dots, with no fusion-breaking interleave reshape.  Symmetric
-    absmax per (input-group, out-channel): scale = absmax/7, codes in [1, 15]
-    (value + 8)."""
+    Row-pair packing (must match ops/int4_matmul.py): byte [r, c] carries
+    W[2r, c] in its lo nibble and W[2r+1, c] in its hi nibble, both as
+    two's-complement signed int4.  This is exactly the layout the TPU's
+    native s4 vector bitcast expects — ``pltpu.bitcast(uint8[R, C], int4)``
+    yields [2R, C] with rows interleaved (2r <- lo, 2r+1 <- hi), so the
+    kernel unpacks with ONE hardware cast instead of per-nibble VPU bit ops.
+    Symmetric absmax per (input-group, out-channel): scale = absmax/7,
+    codes in [-7, 7]."""
     kernel = np.asarray(kernel, np.float32)
     *lead, n_in, n_out = kernel.shape
-    assert n_out % 2 == 0, "out dim must be even to nibble-pack"
+    assert n_in % 2 == 0, "in dim must be even to nibble-pack"
     if n_in % group:
         group = n_in
     g = kernel.reshape(*lead, n_in // group, group, n_out)
     absmax = np.maximum(np.abs(g).max(axis=-2), 1e-8)
     scale = (absmax / 7.0).astype(np.float32)       # [..., in//g, out]
     q = np.clip(np.round(g / scale[..., None, :]), -7, 7).astype(np.int8)
-    q = q.reshape(*lead, n_in, n_out) + 8           # biased codes [1, 15]
-    lo, hi = q[..., :n_out // 2], q[..., n_out // 2:]
-    packed = (lo | (hi << 4)).astype(np.uint8)
+    q = q.reshape(*lead, n_in, n_out)
+    lo = q[..., 0::2, :] & 0xF
+    hi = q[..., 1::2, :] & 0xF
+    packed = (lo | (hi << 4)).astype(np.uint8)      # [..., in//2, out]
     return packed, scale
 
 

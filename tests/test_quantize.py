@@ -178,23 +178,48 @@ def test_int8_full_llama_matches_fp():
 
 
 def test_int4_kernel_roundtrip():
-    """Pack/unpack identity: the layer's dequant must reproduce
-    quantize_kernel_int4's codes exactly."""
+    """Pack/unpack identity: dequantizing with the identity input must
+    reproduce W within the absmax/7 rounding bound."""
+    from seedx_tpu.ops.int4_matmul import int4_matmul_xla
     from seedx_tpu.utils.quantize import quantize_kernel_int4
 
     rng = np.random.default_rng(0)
     w = rng.normal(size=(256, 64)).astype(np.float32)
     packed, scale = quantize_kernel_int4(w, group=128)
-    assert packed.shape == (256, 32) and packed.dtype == np.uint8
+    assert packed.shape == (128, 64) and packed.dtype == np.uint8
     assert scale.shape == (2, 64)
-    # manual dequant, mirroring the LoRADense int4 branch
-    lo = (packed & 0xF).astype(np.int8) - 8
-    hi = (packed >> 4).astype(np.int8) - 8
-    q = np.concatenate([lo, hi], axis=-1).astype(np.float32)
-    rec = (q.reshape(2, 128, 64) * scale[:, None, :]).reshape(256, 64)
-    # absmax/7 symmetric: error bounded by scale/2
+    eye = jnp.eye(256, dtype=jnp.bfloat16)
+    rec = np.asarray(int4_matmul_xla(eye, jnp.asarray(packed),
+                                     jnp.asarray(scale), group=128),
+                     np.float32)
+    # absmax/7 symmetric: error bounded by scale/2 (+ bf16 dequant noise)
     gmax = np.repeat(scale, 128, axis=0)
-    assert np.all(np.abs(rec - w) <= gmax * 0.5 + 1e-6)
+    assert np.all(np.abs(rec - w) <= gmax * 0.5 + 0.02)
+
+
+def test_int4_pallas_kernel_matches_xla():
+    """The Pallas int4 matmul (interpret mode on CPU) == the XLA unpack+dot
+    reference on the same packed operands."""
+    from seedx_tpu.ops.int4_matmul import int4_matmul, int4_matmul_xla
+    from seedx_tpu.utils.quantize import quantize_kernel_int4
+
+    rng = np.random.default_rng(1)
+    n_in, n_out, rows = 256, 512, 4
+    w = rng.normal(size=(n_in, n_out)).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(rows, n_in)), jnp.bfloat16)
+    packed, scale = quantize_kernel_int4(w, group=128)
+    ref = int4_matmul_xla(x, jnp.asarray(packed), jnp.asarray(scale),
+                          group=128)
+    out = int4_matmul(x, jnp.asarray(packed), jnp.asarray(scale),
+                      group=128, block_out=256, interpret=True)
+    assert out.shape == (rows, n_out)
+    # the kernel is W4A8 (per-row int8 activations) while the XLA reference
+    # is W4A16: tolerance covers the ~amax/254-per-term activation rounding
+    ref = np.asarray(ref, np.float32)
+    err = np.abs(np.asarray(out, np.float32) - ref)
+    rms = float(np.sqrt(np.mean(ref ** 2)))
+    assert np.mean(err) < 0.02 * rms
+    assert np.max(err) < 0.1 * rms
 
 
 def test_int4_llama_matches_fp():
