@@ -189,6 +189,84 @@ def bench_sdxl_denoise(batch_size: int = 1, steps: int = 10,
     return steps * iters / dt
 
 
+def bench_decode_turn(prompt_len: int = 512, decode_steps: int = 74,
+                      num_layers: int = 40):
+    """Seconds for ONE serving turn of the LLM: prefill a 512-token
+    multimodal prompt + decode ~10 text tokens + the 64-token image span
+    (int4 weights, int8 KV — the serving config)."""
+    import time as _t
+
+    total_tokens = bench_decode_13b(batch_size=1, prompt_len=prompt_len,
+                                    decode_steps=decode_steps,
+                                    num_layers=num_layers,
+                                    kv_quantization="int8",
+                                    quantization="int4")
+    # bench_decode_13b returns tokens/sec over decode_steps; invert.
+    return decode_steps / total_tokens
+
+
+def bench_vae_decode(height: int = 1024):
+    """Seconds for one SDXL VAE decode at 1024^2 (bf16)."""
+    from flax import linen as nn
+
+    from seedx_tpu.models.sdxl.vae import VAEConfig, VAEDecoder
+
+    cfg = VAEConfig()
+    dec = VAEDecoder(cfg)
+    h = height // 8
+    latents = jax.random.normal(jax.random.PRNGKey(0), (1, h, h, 4),
+                                jnp.bfloat16)
+    params = nn.meta.unbox(jax.jit(lambda: dec.init(
+        jax.random.PRNGKey(0), latents))()["params"])
+    jax.block_until_ready(params)
+
+    @jax.jit
+    def run(params, z, shift):
+        return jnp.sum(dec.apply({"params": params}, z + shift
+                                 ).astype(jnp.float32))
+
+    float(run(params, latents, jnp.bfloat16(0)))
+    iters = 3
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc = acc * 0 + run(params, latents, acc.astype(jnp.bfloat16) * 0)
+    float(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_e2e_turn():
+    """North-star composition: one image-in/image-out chat turn =
+    anyres ViT encode (5 tiles) + 13B prefill-512/decode-74 (text + the
+    64-token image span) + 30-step SDXL denoise (2-way CFG) + VAE decode.
+
+    The three model families don't co-reside on one 16G chip at full
+    geometry (13B-int4 6.6G + ViT-bigG 4G + SDXL 5.4G), so each phase is
+    timed with the chip to itself and the times are summed — on the v5e-8
+    serving slice each family owns its own chips and the phases pipeline,
+    making the sum the single-request latency upper bound.
+    """
+    import gc
+
+    results = {}
+
+    # ViT: 5 tiles (2x2 grid + base) per image, batch them as one forward.
+    imgs_per_sec = bench_vit_encode(batch_size=5, iters=6)
+    results["vit_s"] = 5 / imgs_per_sec
+    gc.collect()
+
+    results["llm_s"] = bench_decode_turn()
+    gc.collect()
+
+    steps_per_sec = bench_sdxl_denoise(steps=30)
+    results["sdxl_s"] = 30 / steps_per_sec
+    gc.collect()
+
+    results["vae_s"] = bench_vae_decode()
+    total = sum(results.values())
+    return total, results
+
+
 def _best_of(fn, repeats: int = 2):
     """The tunnelled dev chip's throughput is time-varying (NOTES_r1.md);
     report the best window so driver records are comparable across rounds."""
@@ -200,7 +278,8 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--metric", default="vit_encode",
-                   choices=["vit_encode", "decode_13b", "sdxl_denoise"])
+                   choices=["vit_encode", "decode_13b", "sdxl_denoise",
+                            "e2e_turn"])
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--batch", type=int, default=1,
                    help="decode_13b batch size (batched serving engine "
@@ -212,7 +291,20 @@ def main():
                         "batch 1, int4 for batched serving)")
     args = p.parse_args()
 
-    if args.metric == "sdxl_denoise":
+    if args.metric == "e2e_turn":
+        best, parts = None, None
+        for _ in range(args.repeats):
+            total, br = bench_e2e_turn()
+            if best is None or total < best:
+                best, parts = total, br
+        print(json.dumps({
+            "metric": "e2e_image_turn_single_chip",
+            "value": round(best, 2),
+            "unit": "seconds (vit5 + prefill512/decode74 + sdxl30 + vae)",
+            "vs_baseline": None,
+            "parts": {k: round(v, 2) for k, v in parts.items()},
+        }))
+    elif args.metric == "sdxl_denoise":
         value = _best_of(bench_sdxl_denoise, args.repeats)
         print(json.dumps({
             "metric": "sdxl_unet_denoise_1024_cfg2",
