@@ -29,7 +29,7 @@ from seedx_tpu.data import encoding
 from seedx_tpu.data.anyres import (grid_pinpoints_from_strings,
                                    process_anyres_image)
 from seedx_tpu.data.pipeline import (batched, collate_anyres, cycle_files,
-                                     read_jsonl, read_tar_shards, shard_files,
+                                     read_jsonl, read_tar_shards_multi, shard_files,
                                      shuffle_stream, weighted_mix)
 
 logger = logging.getLogger(__name__)
@@ -124,43 +124,43 @@ def build_caption_datapipes_with_pixels(
     max_images = batch_size * _max_tiles(resolution_grids)
 
     def samples():
-        for path in cycle_files(files, cycle_count, seed):
-            for raw in read_tar_shards(path):
-                image = raw.get("images")
-                if image is None:
-                    continue
-                if use_caption_in_metadata:
-                    try:
-                        caption = json.loads(
-                            raw.get("metadata", "{}"))[caption_key_in_metadata]
-                    except (KeyError, json.JSONDecodeError):
-                        continue
-                else:
-                    caption = raw.get("text")
-                if assure_text and not caption:
-                    continue
-                if not _passes_similarity(raw.get("metadata", "{}"),
-                                          similarity_thr):
-                    continue
-                if not _check_image(image, min_resolution, min_aspect_ratio):
-                    continue
+        shard_order = list(cycle_files(files, cycle_count, seed))
+        for raw in read_tar_shards_multi(shard_order):
+            image = raw.get("images")
+            if image is None:
+                continue
+            if use_caption_in_metadata:
                 try:
-                    tiles, patch_pos = process_anyres_image(
-                        image, image_transform, pinpoints, base_resolution)
-                except Exception as e:
-                    logger.warning("anyres decode failed: %s", e)
+                    caption = json.loads(
+                        raw.get("metadata", "{}"))[caption_key_in_metadata]
+                except (KeyError, json.JSONDecodeError):
                     continue
-                enc = encoding.encode_caption_sample(
-                    caption, tokenizer, max_length=max_length,
-                    img_first_ratio=img_first_ratio,
-                    num_img_in_tokens=num_img_in_tokens,
-                    num_img_out_tokens=num_img_out_tokens,
-                    patch_length=len(tiles), rng=rng,
-                    instruction_prompt=instruction_prompt,
-                    add_gen_prompt=add_gen_prompt)
-                enc["images"] = tiles
-                enc["patch_positions"] = patch_pos
-                yield enc
+            else:
+                caption = raw.get("text")
+            if assure_text and not caption:
+                continue
+            if not _passes_similarity(raw.get("metadata", "{}"),
+                                      similarity_thr):
+                continue
+            if not _check_image(image, min_resolution, min_aspect_ratio):
+                continue
+            try:
+                tiles, patch_pos = process_anyres_image(
+                    image, image_transform, pinpoints, base_resolution)
+            except Exception as e:
+                logger.warning("anyres decode failed: %s", e)
+                continue
+            enc = encoding.encode_caption_sample(
+                caption, tokenizer, max_length=max_length,
+                img_first_ratio=img_first_ratio,
+                num_img_in_tokens=num_img_in_tokens,
+                num_img_out_tokens=num_img_out_tokens,
+                patch_length=len(tiles), rng=rng,
+                instruction_prompt=instruction_prompt,
+                add_gen_prompt=add_gen_prompt)
+            enc["images"] = tiles
+            enc["patch_positions"] = patch_pos
+            yield enc
 
     stream = shuffle_stream(samples(), buffer_size=64, seed=seed)
     for batch in batched(stream, batch_size):

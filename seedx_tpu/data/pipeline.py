@@ -114,6 +114,27 @@ def read_tar_shards(path: str) -> Iterator[Dict[str, Any]]:
 # stream combinators
 # ---------------------------------------------------------------------------
 
+def read_tar_shards_multi(paths, num_threads: int = 4,
+                          native: bool = None) -> Iterator[Dict[str, Any]]:
+    """Stream samples from MANY shards; uses the C++ threaded reader
+    (data/native) when a toolchain is available, else chains the Python
+    reader.  Sample grouping is per shard either way; cross-shard sample
+    ORDER differs under the native reader (worker interleave), which the
+    downstream buffered shuffle treats as free extra mixing."""
+    paths = list(paths)
+    if native is None:
+        from seedx_tpu.data import native as native_io
+
+        native = native_io.available()
+    if native:
+        from seedx_tpu.data.native import read_tar_shards_native
+
+        yield from read_tar_shards_native(paths, num_threads=num_threads)
+    else:
+        for p in paths:
+            yield from read_tar_shards(p)
+
+
 def shard_files(files: Sequence[str], process_index: Optional[int] = None,
                 process_count: Optional[int] = None) -> List[str]:
     """Round-robin file assignment to this host."""
