@@ -41,6 +41,8 @@ class GenerationConfig:
     do_sample: bool = False
     temperature: float = 0.7
     top_p: float = 0.5
+    num_beams: int = 1
+    length_penalty: float = 1.0   # HF-style: score / len**alpha
     eos_token_id: int = 2
     pad_token_id: int = 0
     prompt_buckets: tuple = (128, 256, 512, 1024)
@@ -163,6 +165,140 @@ def generate_tokens(
     return {"tokens": tokens, "hidden": hidden, "finished": finished}
 
 
+@functools.partial(jax.jit, static_argnames=("model", "gen_cfg", "vocab"))
+def generate_tokens_beam(
+    model: ContinuousLVLM,
+    variables: Any,
+    prompt_embeds: jnp.ndarray,    # [B, P, D]
+    prompt_mask: jnp.ndarray,      # [B, P] bool, LEFT-padded
+    last_prompt_token: jnp.ndarray,  # [B]
+    gen_cfg: GenerationConfig,
+    vocab: MultimodalVocab = DEFAULT_VOCAB,
+):
+    """Beam search (HF ``num_beams>1`` parity; the reference's configs carry
+    the knob even though every eval script runs greedy).
+
+    One prefill at batch B, then the cache is tiled to B*K beam rows and the
+    whole beam state (KV cache included) is re-gathered by parent beam every
+    scan step — the standard jit-compatible formulation.  Finished beams
+    emit pad with frozen scores and keep competing in the joint top-k pool.
+
+    Returns {tokens [T, B, K], parents [T, B, K], hidden [T, B*K, D],
+    scores [B, K]}; host-side backtracking reconstructs the best beam
+    (see ``_backtrack_beam``).
+    """
+    k = gen_cfg.num_beams
+    b, p, d = prompt_embeds.shape
+    t = gen_cfg.max_new_tokens
+    llm_cfg = model.cfg.llm
+    bk = b * k
+
+    cache = init_kv_cache(llm_cfg, b, p + t)
+    positions = jnp.maximum(
+        jnp.cumsum(prompt_mask.astype(jnp.int32), axis=-1) - 1, 0)
+    kv_valid_prefill = jnp.concatenate(
+        [prompt_mask, jnp.zeros((b, t), bool)], axis=-1)
+    logits, prefill_hidden, cache = model.apply(
+        variables, prompt_embeds, positions, kv_valid_prefill, cache, 0,
+        method="llm_step")
+
+    # beam expansion: row-major [b, k] blocks
+    def tile_rows(x, axis=0):
+        return jnp.repeat(x, k, axis=axis)
+
+    cache = jax.tree.map(lambda c: tile_rows(c, axis=1), cache)
+    prompt_mask_k = tile_rows(prompt_mask)
+    last_logits = tile_rows(logits[:, -1].astype(jnp.float32))
+    last_hidden = tile_rows(prefill_hidden[:, -1])
+    last_pos = tile_rows(positions[:, -1])
+    prev_token = tile_rows(last_prompt_token.astype(jnp.int32))
+    scores = jnp.full((b, k), -jnp.inf, jnp.float32).at[:, 0].set(0.0)
+    v = logits.shape[-1]
+
+    def step(carry, step_idx):
+        (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
+         scores) = carry
+        constrained = constrain_image_tokens(
+            prev_token, prev_logits, vocab, gen_cfg.num_img_gen_tokens)
+        logprobs = jax.nn.log_softmax(constrained, axis=-1)     # [bk, V]
+        # finished beams: pad costs 0, everything else -inf
+        pad_row = jnp.full((v,), -jnp.inf).at[gen_cfg.pad_token_id].set(0.0)
+        logprobs = jnp.where(finished[:, None], pad_row[None, :], logprobs)
+
+        total = scores.reshape(bk, 1) + logprobs                # [bk, V]
+        top_scores, top_idx = jax.lax.top_k(total.reshape(b, k * v), k)
+        parent = top_idx // v                                   # [b, k]
+        token = (top_idx % v).astype(jnp.int32)                 # [b, k]
+        parent_rows = (jnp.arange(b)[:, None] * k + parent).reshape(-1)
+
+        # re-gather ALL beam state by parent
+        cache = jax.tree.map(lambda c: jnp.take(c, parent_rows, axis=1),
+                             cache)
+        hidden_src = jnp.take(prev_hidden, parent_rows, axis=0)
+        pos = jnp.take(prev_pos, parent_rows, axis=0) + 1
+        fin_src = jnp.take(finished, parent_rows, axis=0)
+        token_flat = token.reshape(-1)
+        new_finished = fin_src | (token_flat == gen_cfg.eos_token_id)
+
+        embeds = model.apply(variables, token_flat[:, None],
+                             method="embed_ids")
+        kv_valid = jnp.concatenate(
+            [prompt_mask_k,
+             jnp.broadcast_to(jnp.arange(t)[None, :] <= step_idx,
+                              (bk, t))], axis=-1)
+        logits, hidden, cache = model.apply(
+            variables, embeds, pos[:, None], kv_valid, cache, p + step_idx,
+            method="llm_step")
+
+        out = (token, parent, hidden_src, new_finished)
+        return (cache, logits[:, 0].astype(jnp.float32), hidden[:, 0], pos,
+                token_flat, new_finished, top_scores), out
+
+    carry = (cache, last_logits, last_hidden, last_pos, prev_token,
+             jnp.zeros((bk,), bool), scores)
+    carry, (tokens, parents, hidden, finished) = jax.lax.scan(
+        step, carry, jnp.arange(t))
+    return {"tokens": tokens, "parents": parents, "hidden": hidden,
+            "scores": carry[-1], "finished": finished}
+
+
+def _backtrack_beam(out: Dict[str, Any], gen_cfg: GenerationConfig,
+                    batch_idx: int = 0):
+    """Host-side: walk every final slot's parent pointers back into its
+    true token chain, score chains under the HF length penalty
+    (sum_logprob / len**alpha), and return the winner's (tokens [T],
+    hidden [T, D])."""
+    tokens = np.asarray(out["tokens"])[:, batch_idx]    # [T, K]
+    parents = np.asarray(out["parents"])[:, batch_idx]  # [T, K]
+    scores = np.asarray(out["scores"])[batch_idx]       # [K]
+    t, k = tokens.shape
+
+    def chain(final_slot):
+        seq = np.zeros((t,), np.int64)
+        hid_rows = np.zeros((t,), np.int64)
+        slot = final_slot
+        for i in range(t - 1, -1, -1):
+            seq[i] = tokens[i, slot]
+            hid_rows[i] = batch_idx * k + slot
+            slot = int(parents[i, slot])
+        return seq, hid_rows
+
+    best, best_val = 0, -np.inf
+    chains = []
+    for slot in range(k):
+        seq, hid_rows = chain(slot)
+        eos = np.where(seq == gen_cfg.eos_token_id)[0]
+        length = int(eos[0]) + 1 if eos.size else t
+        val = float(scores[slot]) / max(length, 1) ** gen_cfg.length_penalty
+        chains.append((seq, hid_rows))
+        if val > best_val:
+            best, best_val = slot, val
+
+    seq, hid_rows = chains[best]
+    hidden = out["hidden"][np.arange(t), hid_rows]      # [T, D]
+    return seq, hidden, best
+
+
 def _trim_and_spans(tokens: np.ndarray, gen_cfg: GenerationConfig,
                     vocab: MultimodalVocab):
     """Per-sequence host post-processing: eos trim + </img> span indices."""
@@ -245,9 +381,19 @@ def generate_batch(
         method="embed_with_images")
 
     last_tokens = np.asarray([r["input_ids"][-1] for r in requests], np.int32)
-    out = generate_tokens(model, variables, prompt_embeds, jnp.asarray(mask),
-                          jnp.asarray(last_tokens), rng, gen_cfg, vocab)
-    all_tokens = np.asarray(out["tokens"])
+    if gen_cfg.num_beams > 1:
+        bout = generate_tokens_beam(model, variables, prompt_embeds,
+                                    jnp.asarray(mask),
+                                    jnp.asarray(last_tokens), gen_cfg, vocab)
+        per_row = [_backtrack_beam(bout, gen_cfg, i)[:2] for i in range(b)]
+        all_tokens = np.stack([p[0] for p in per_row])
+        row_hidden = [p[1] for p in per_row]       # each [T, D]
+    else:
+        out = generate_tokens(model, variables, prompt_embeds,
+                              jnp.asarray(mask), jnp.asarray(last_tokens),
+                              rng, gen_cfg, vocab)
+        all_tokens = np.asarray(out["tokens"])
+        row_hidden = [out["hidden"][i] for i in range(b)]
 
     # Per-row span bookkeeping; ONE output-resampler launch for all spans.
     n_img = gen_cfg.num_img_gen_tokens
@@ -259,7 +405,7 @@ def generate_batch(
         span_list.extend((i, j) for j in eoi_indices)
     img_gen_all = None
     if span_list:
-        spans = jnp.stack([out["hidden"][i, j - n_img:j]
+        spans = jnp.stack([jnp.asarray(row_hidden[i])[j - n_img:j]
                            for i, j in span_list])
         img_gen_all = model.apply(variables, spans,
                                   method="decode_image_feats")

@@ -196,3 +196,75 @@ def test_generate_batch_matches_single(tiny_agent, tiny_agent_cfg):
         np.asarray(batched[2]["img_gen_feat"], np.float32),
         np.asarray(singles[2]["img_gen_feat"], np.float32),
         atol=2e-3)
+
+
+def test_beam_search_k1_matches_greedy(tiny_agent):
+    from seedx_tpu.models.generation import (_backtrack_beam,
+                                             generate_tokens_beam,
+                                             generate_tokens)
+
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    gen_cfg = GenerationConfig(max_new_tokens=6, num_img_gen_tokens=4,
+                               prompt_buckets=(128,), num_beams=1)
+    ids = [tok.bos_token_id] + tok.encode("the quick brown")
+    pad = 128 - len(ids)
+    ids_p = jnp.asarray([[tok.pad_token_id] * pad + ids])
+    mask = jnp.asarray([[False] * pad + [True] * len(ids)])
+    embeds = model.apply(variables, ids_p, method="embed_ids")
+    last = jnp.asarray([ids[-1]], jnp.int32)
+
+    greedy = generate_tokens(model, variables, embeds, mask, last,
+                             jax.random.PRNGKey(0), gen_cfg, tok.vocab)
+    beam = generate_tokens_beam(model, variables, embeds, mask, last,
+                                gen_cfg, tok.vocab)
+    seq, hidden, best = _backtrack_beam(beam, gen_cfg, 0)
+    assert list(seq) == list(np.asarray(greedy["tokens"])[0])
+    np.testing.assert_allclose(np.asarray(hidden, np.float32),
+                               np.asarray(greedy["hidden"][0], np.float32),
+                               atol=1e-3)
+
+
+def test_beam_search_scores_beat_greedy(tiny_agent):
+    """K=4 best-path cumulative log-prob must be >= the greedy path's."""
+    from seedx_tpu.models.generation import (generate_tokens,
+                                             generate_tokens_beam)
+
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    cfgk = GenerationConfig(max_new_tokens=6, num_img_gen_tokens=4,
+                            prompt_buckets=(128,), num_beams=4)
+    ids = [tok.bos_token_id] + tok.encode("hello")
+    pad = 128 - len(ids)
+    ids_p = jnp.asarray([[tok.pad_token_id] * pad + ids])
+    mask = jnp.asarray([[False] * pad + [True] * len(ids)])
+    embeds = model.apply(variables, ids_p, method="embed_ids")
+    last = jnp.asarray([ids[-1]], jnp.int32)
+
+    cfg1 = GenerationConfig(max_new_tokens=6, num_img_gen_tokens=4,
+                            prompt_buckets=(128,), num_beams=1)
+    b1 = generate_tokens_beam(model, variables, embeds, mask, last, cfg1,
+                              tok.vocab)
+    bk = generate_tokens_beam(model, variables, embeds, mask, last, cfgk,
+                              tok.vocab)
+    assert float(np.max(np.asarray(bk["scores"]))) >= \
+        float(np.max(np.asarray(b1["scores"]))) - 1e-4
+
+
+def test_beam_search_forced_image_span(tiny_agent, tiny_agent_cfg):
+    """The image-token constrainer applies per beam: a prompt ending in
+    <img> must force the span on the winning beam too."""
+    model, variables = tiny_agent
+    cfg = tiny_agent_cfg
+    tok = ByteFallbackTokenizer()
+    v = tok.vocab
+    n = 4
+    gen_cfg = GenerationConfig(max_new_tokens=n + 2, num_img_gen_tokens=n,
+                               prompt_buckets=(128,), num_beams=3)
+    input_ids = [tok.bos_token_id] + tok.encode("img: ") + [v.boi]
+    res = generate(model, variables, tok, input_ids, gen_cfg=gen_cfg)
+    toks = list(res["tokens"])
+    assert toks[:n] == [v.img_token_id(i) for i in range(n)]
+    assert res["has_img_output"] and res["num_gen_imgs"] == 1
+    assert res["img_gen_feat"].shape == (1, cfg.num_img_out_tokens,
+                                         cfg.vit_dim)
