@@ -78,17 +78,22 @@ def _kernel(x_ref, p_ref, s_ref, out_ref, *, group: int, block_out: int,
 
 
 @functools.partial(jax.jit, static_argnames=("group", "block_out",
-                                             "interpret"))
+                                             "block_rows", "interpret"))
 def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
                 group: int = 128, block_out: int = 512,
+                block_rows: int = 256,
                 interpret: bool = False) -> jnp.ndarray:
     """x [rows, in] @ dequant(packed [in//2, out], scale [in/g, out]) -> [rows, out].
 
     W4A8: x is dynamically quantized to int8 per row (absmax/127) and the
     row scale multiplies the fp32 kernel output — so on top of the int4
     weight rounding there is ~0.4%-of-row-amax activation rounding, the
-    standard serving trade.  rows is padded to the int8 sublane tile (32);
-    intended for decode / small serving batches (rows <= ~64).
+    standard serving trade.  rows is padded to the int8 sublane tile (32).
+
+    Decode (rows <= block_rows) runs a 1D grid over out blocks; prefill-
+    sized inputs add a row-block grid dim as the FASTEST-varying axis, so
+    the pipeliner keeps each packed block resident across its row sweep
+    (packed bytes still stream exactly once when rows <= block_rows^2/...).
     """
     rows, n_in = x.shape
     n_out = scale.shape[-1]
@@ -102,7 +107,11 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     xa = jnp.maximum(jnp.max(jnp.abs(xf), -1, keepdims=True), 1e-8) / 127.0
     x8 = jnp.round(xf / xa).astype(jnp.int8)
 
-    pad_rows = (-rows) % 32
+    if rows <= block_rows:
+        br = rows + (-rows) % 32   # one row block, int8-sublane aligned
+    else:
+        br = block_rows
+    pad_rows = (-rows) % br
     if pad_rows:
         x8 = jnp.pad(x8, ((0, pad_rows), (0, 0)))
     rows_p = rows + pad_rows
@@ -112,16 +121,16 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         functools.partial(_kernel, group=group, block_out=bo, chunk=chunk),
         out_shape=jax.ShapeDtypeStruct((rows_p, n_out), jnp.float32),
         grid_spec=pl.GridSpec(
-            grid=(n_out // bo,),
+            grid=(n_out // bo, rows_p // br),
             in_specs=[
-                pl.BlockSpec((rows_p, n_in), lambda m: (0, 0),
+                pl.BlockSpec((br, n_in), lambda m, r: (r, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_in // 2, bo), lambda m: (0, m),
+                pl.BlockSpec((n_in // 2, bo), lambda m, r: (0, m),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((n_in // group, bo), lambda m: (0, m),
+                pl.BlockSpec((n_in // group, bo), lambda m, r: (0, m),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((rows_p, bo), lambda m: (0, m),
+            out_specs=pl.BlockSpec((br, bo), lambda m, r: (r, m),
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
@@ -151,10 +160,11 @@ def int4_matmul_xla(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
 
 def int4_matmul_auto(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
                      group: int = 128, block_out: int = 512,
-                     max_kernel_rows: int = 64) -> jnp.ndarray:
-    """Dispatch: Pallas kernel on TPU for small row counts (decode GEMV),
-    XLA unpack+dot elsewhere (CPU tests; prefill, where the dequant cost is
-    amortised over many rows and the MXU-shaped single dot wins)."""
+                     max_kernel_rows: int = 2048) -> jnp.ndarray:
+    """Dispatch: Pallas kernel on TPU for decode AND prefill-sized row
+    counts (the XLA fallback materialises the full dequantized bf16 matrix
+    per matmul — ~50 GB of temp traffic per 512-token 13B prefill), XLA
+    unpack+dot on CPU (tests) and for very large row counts."""
     lead = x.shape[:-1]
     rows = 1
     for d in lead:

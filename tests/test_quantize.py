@@ -254,3 +254,25 @@ def test_int4_llama_matches_fp():
     # greedy agreement (group scales keep per-weight error ~ scale/2)
     assert np.mean(np.abs(ref - out)) < 0.5
     assert (ref.argmax(-1) == out.argmax(-1)).mean() > 0.6
+
+
+def test_int4_pallas_kernel_prefill_rows():
+    """The row-blocked grid (prefill-sized inputs) matches the XLA path."""
+    from seedx_tpu.ops.int4_matmul import int4_matmul, int4_matmul_xla
+    from seedx_tpu.utils.quantize import quantize_kernel_int4
+
+    rng = np.random.default_rng(2)
+    n_in, n_out, rows = 256, 512, 200   # rows > block_rows -> 2D grid, padded
+    w = rng.normal(size=(n_in, n_out)).astype(np.float32)
+    x = jnp.asarray(rng.normal(size=(rows, n_in)), jnp.bfloat16)
+    packed, scale = quantize_kernel_int4(w, group=128)
+    ref = np.asarray(int4_matmul_xla(x, jnp.asarray(packed),
+                                     jnp.asarray(scale), group=128),
+                     np.float32)
+    out = np.asarray(int4_matmul(x, jnp.asarray(packed), jnp.asarray(scale),
+                                 group=128, block_out=256, block_rows=64,
+                                 interpret=True), np.float32)
+    assert out.shape == (rows, n_out)
+    rms = float(np.sqrt(np.mean(ref ** 2)))
+    assert np.mean(np.abs(out - ref)) < 0.02 * rms
+    assert np.max(np.abs(out - ref)) < 0.1 * rms
