@@ -237,9 +237,9 @@ class SeedXRuntime:
         changes.  SDXL adapter weights stay replicated: image-side scale-out
         rides data-parallel CFG branches, not weight sharding.
 
-        On >1-device meshes attention falls back to the XLA path (a
-        ``pallas_call`` is opaque to the partitioner); single-chip keeps the
-        Pallas flash kernel.
+        The Pallas flash kernel partitions natively on >1-device meshes
+        (custom_partitioning over batch/head dims — ops/flash_attention.py),
+        so no attention fallback is needed.
         """
         from jax.sharding import NamedSharding, PartitionSpec
 
@@ -249,12 +249,6 @@ class SeedXRuntime:
 
         mesh = mesh if mesh is not None else local_mesh()
         rules = tuple(rules) if rules is not None else DEFAULT_RULES
-
-        if mesh.size > 1 and self.agent_cfg.llm.attention_impl != "xla":
-            llm_cfg = dataclasses.replace(self.agent_cfg.llm,
-                                          attention_impl="xla")
-            self.agent_cfg = dataclasses.replace(self.agent_cfg, llm=llm_cfg)
-            self.agent = ContinuousLVLM(self.agent_cfg)
 
         dummy = jnp.zeros((1, self.vit_cfg.image_size,
                            self.vit_cfg.image_size, 3), jnp.float32)

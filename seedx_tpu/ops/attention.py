@@ -106,13 +106,13 @@ def dot_product_attention(
         # Odd head dims (ViT-bigG's 104) are zero-padded to the 128 lane
         # width: padding q/k leaves the logits unchanged and padded v
         # channels are sliced away — cheaper than materialising the fp32
-        # [B, H, S, S] probs the xla path writes to HBM.
+        # [B, H, S, S] probs the xla path writes to HBM.  Ragged sequence
+        # lengths (the reference's 880-token SFT batches) are zero-padded to
+        # the 128 tile width below, so they no longer force the xla path.
         use_flash = (
             bias is None
             and jax.default_backend() == "tpu"
             and q_len >= 128
-            and q_len % 128 == 0
-            and kv_len % 128 == 0
             and (q_len == kv_len or q_offset is not None)
         )
     if use_flash:
@@ -131,12 +131,28 @@ def dot_product_attention(
             q = jnp.pad(q, widths)
             k = jnp.pad(k, widths)
             v = jnp.pad(v, widths)
+        # Seq padding: padded kv columns are masked via ends (default = the
+        # pre-pad kv_len); padded q rows compute garbage that is sliced off.
+        q_pad = (-q_len) % 128
+        kv_pad = (-kv_len) % 128
+        if kv_pad:
+            if ends is None:
+                starts = jnp.zeros((b,), jnp.int32)
+                ends = jnp.full((b,), kv_len, jnp.int32)
+            k = jnp.pad(k, [(0, 0), (0, kv_pad), (0, 0), (0, 0)])
+            v = jnp.pad(v, [(0, 0), (0, kv_pad), (0, 0), (0, 0)])
+        if q_pad:
+            if q_offset is None:
+                q_offset = kv_len - q_len  # pin alignment before padding
+            q = jnp.pad(q, [(0, 0), (0, q_pad), (0, 0), (0, 0)])
         # non-causal (ViT) tiles measure ~17% faster at 512 (no masked halves
         # to waste work on); causal keeps 256.
         block = 256 if causal else 512
         out = flash_attention(q, k, v, starts=starts, ends=ends,
                               q_offset=q_offset, causal=causal, scale=scale,
                               block_q=block, block_k=block)
+        if q_pad:
+            out = out[:, :q_len]
         return out[..., :head_dim] if pad else out
 
     full_bias = bias

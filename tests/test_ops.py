@@ -80,8 +80,8 @@ def test_gqa_broadcast():
     assert out.shape == (b, s, 4, d)
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu", reason="pallas TPU kernel")
 def test_flash_attention_matches_xla():
+    # runs everywhere: pallas interpret mode on CPU, real kernel on TPU
     from seedx_tpu.ops.flash_attention import flash_attention
 
     b, s, h, d = 2, 512, 4, 128
@@ -98,7 +98,6 @@ def test_flash_attention_matches_xla():
     assert np.max(diff * mask) < 0.03
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu", reason="pallas TPU kernel")
 def test_flash_attention_window_and_prefill_offset():
     """Window masks (left-padded prompts) + prefill-into-cache q_offset."""
     from seedx_tpu.ops.flash_attention import flash_attention
@@ -122,3 +121,96 @@ def test_flash_attention_window_and_prefill_offset():
                        & (qpos < ends[:, None]))[:, :, None, None]
     diff = np.abs(np.asarray(ref, np.float32) - np.asarray(fl, np.float32))
     assert (diff * qmask).max() < 0.03
+
+
+def test_flash_attention_partitions_on_mesh():
+    """The flash kernel must shard over (batch, heads) instead of
+    all-gathering (custom_partitioning + shardy rule; the known round-1 gap
+    where TP inference fell back to impl='xla')."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from seedx_tpu.ops.attention import make_attention_bias, _xla_attention
+    from seedx_tpu.ops.flash_attention import flash_attention
+
+    devs = np.array(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("data", "tensor"))
+    b, s, h, d = 4, 256, 8, 128
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, s, h, d), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, s, h, d), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, s, h, d), jnp.float32)
+    starts = jnp.array([0, 5, 0, 37], jnp.int32)
+    ends = jnp.array([256, 256, 120, 200], jnp.int32)
+
+    sh = NamedSharding(mesh, P("data", None, "tensor", None))
+    vsh = NamedSharding(mesh, P("data"))
+    args = (jax.device_put(q, sh), jax.device_put(k, sh),
+            jax.device_put(v, sh), jax.device_put(starts, vsh),
+            jax.device_put(ends, vsh))
+
+    f = jax.jit(lambda q, k, v, s, e: flash_attention(
+        q, k, v, starts=s, ends=e, causal=True))
+    out = f(*args)
+    # stays sharded — the partitioner accepted the per-shard kernel
+    assert out.sharding.spec[0] == "data"
+
+    pos = jnp.arange(s)[None, :]
+    kv_valid = (pos >= starts[:, None]) & (pos < ends[:, None])
+    bias = make_attention_bias(kv_valid, s, s, True)
+    ref = _xla_attention(q, k, v, bias, d ** -0.5)
+    qpos = np.arange(s)[None, :]
+    valid_row = ((qpos >= np.asarray(starts)[:, None])
+                 & (qpos < np.asarray(ends)[:, None]))
+    diff = np.abs(np.asarray(out) - np.asarray(ref))
+    assert diff[valid_row].max() < 2e-5
+
+
+def test_flash_attention_backward_matches_xla_vjp():
+    """Pallas flash-2 backward (dq + dk/dv kernels) vs the XLA attention vjp.
+
+    Upstream grads are zeroed on invalid q rows (they are loss-masked in real
+    training); on valid positions the two backends must agree.
+    """
+    from seedx_tpu.ops.attention import make_attention_bias, _xla_attention
+    from seedx_tpu.ops.flash_attention import flash_attention
+
+    b, h, d = 2, 4, 128
+    for q_len, kv_len, starts, ends, q_offset, causal in [
+        (256, 256, None, [256, 170], None, True),      # right-pad training
+        (256, 256, [30, 0], [256, 200], None, True),   # left-pad window
+        (256, 512, [0, 10], [256, 200], 0, True),      # prefill into cache
+        (256, 256, [0, 5], [256, 180], None, False),   # non-causal (ViT)
+    ]:
+        keys = jax.random.split(jax.random.PRNGKey(0), 4)
+        q = jax.random.normal(keys[0], (b, q_len, h, d), jnp.float32)
+        k = jax.random.normal(keys[1], (b, kv_len, h, d), jnp.float32)
+        v = jax.random.normal(keys[2], (b, kv_len, h, d), jnp.float32)
+        g = jax.random.normal(keys[3], (b, q_len, h, d), jnp.float32)
+        starts_a = (jnp.zeros((b,), jnp.int32) if starts is None
+                    else jnp.asarray(starts, jnp.int32))
+        ends_a = jnp.asarray(ends, jnp.int32)
+        qoff = q_offset if q_offset is not None else kv_len - q_len
+        qpos = jnp.arange(q_len)[None, :] + qoff
+        row_valid = (qpos >= starts_a[:, None]) & (qpos < ends_a[:, None])
+        g = g * row_valid[:, :, None, None]
+
+        def f_flash(q, k, v):
+            out = flash_attention(q, k, v, starts=starts, ends=ends,
+                                  q_offset=q_offset, causal=causal)
+            return (out * g).sum()
+
+        def f_ref(q, k, v):
+            pos = jnp.arange(kv_len)[None, :]
+            kv_valid = (pos >= starts_a[:, None]) & (pos < ends_a[:, None])
+            bias = make_attention_bias(kv_valid, q_len, kv_len, causal,
+                                       q_offset=q_offset)
+            return (_xla_attention(q, k, v, bias, d ** -0.5) * g).sum()
+
+        gf = jax.jit(jax.grad(f_flash, argnums=(0, 1, 2)))(q, k, v)
+        gr = jax.jit(jax.grad(f_ref, argnums=(0, 1, 2)))(q, k, v)
+        # MXU default precision truncates fp32 dots to bf16 on TPU; CPU
+        # interpret mode is exact.
+        tol = 1e-2 if jax.default_backend() == "tpu" else 2e-4
+        for name, a, r in zip("qkv", gf, gr):
+            rel = (np.abs(np.asarray(a) - np.asarray(r)).max()
+                   / (np.abs(np.asarray(r)).max() + 1e-9))
+            assert rel < tol, (q_len, kv_len, causal, name, rel)

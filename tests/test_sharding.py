@@ -154,7 +154,9 @@ def test_sharded_runtime_inference_matches_single():
     mesh = create_mesh(data=1, fsdp=4, tensor=2)
     rt2.shard(mesh)
     assert rt2.mesh is mesh
-    assert rt2.agent_cfg.llm.attention_impl == "xla"
+    # the flash kernel partitions natively now (custom_partitioning);
+    # no attention fallback happens on multi-device meshes
+    assert rt2.agent_cfg.llm.attention_impl == "auto"
     qk = rt2.agent_params["llm"]["model"]["layers"]["layer"]["q_proj"]["kernel"]
     assert qk.sharding.spec == PartitionSpec(None, "fsdp", "tensor")
 
