@@ -189,20 +189,103 @@ def bench_sdxl_denoise(batch_size: int = 1, steps: int = 10,
     return steps * iters / dt
 
 
-def bench_decode_turn(prompt_len: int = 512, decode_steps: int = 74,
-                      num_layers: int = 40):
+def bench_decode_turn(prompt_len: int = 512, text_steps: int = 9,
+                      n_img: int = 64, num_layers: int = 40):
     """Seconds for ONE serving turn of the LLM: prefill a 512-token
-    multimodal prompt + decode ~10 text tokens + the 64-token image span
-    (int4 weights, int8 KV — the serving config)."""
-    import time as _t
+    multimodal prompt + ~9 serial text decode steps + the forced 64-token
+    image span + </img> as ONE chunked prefill-into-cache forward + 1 final
+    step (int4 weights, int8 KV — the serving config; mirrors the
+    generate_tokens while-loop engine, models/generation.py)."""
+    from flax import linen as nn
 
-    total_tokens = bench_decode_13b(batch_size=1, prompt_len=prompt_len,
-                                    decode_steps=decode_steps,
-                                    num_layers=num_layers,
-                                    kv_quantization="int8",
-                                    quantization="int4")
-    # bench_decode_13b returns tokens/sec over decode_steps; invert.
-    return decode_steps / total_tokens
+    from seedx_tpu.models.llama import (LlamaForCausalLM, init_kv_cache,
+                                        llama2_13b)
+
+    cfg = llama2_13b(quantization="int4", num_layers=num_layers,
+                     kv_quantization="int8", param_dtype=jnp.bfloat16,
+                     remat=False)
+    model = LlamaForCausalLM(cfg)
+    batch_size = 1
+
+    ids = jnp.zeros((batch_size, 8), jnp.int32)
+    pos8 = jnp.broadcast_to(jnp.arange(8), (batch_size, 8))
+    shapes = nn.meta.unbox(jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids, pos8,
+                           method="init_all"))["params"])
+
+    def fill(path, x):
+        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+        if x.dtype == jnp.int8:
+            return jax.random.randint(key, x.shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
+        if x.dtype == jnp.uint8:
+            return jax.random.randint(key, x.shape, 0, 256, jnp.int32
+                                      ).astype(jnp.uint8)
+        return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
+                ).astype(x.dtype)
+
+    params = jax.jit(
+        lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
+    jax.block_until_ready(params)
+
+    chunk = n_img + 1
+    total = prompt_len + text_steps + chunk + 1
+
+    @jax.jit
+    def run(params, prompt_ids, seed_token):
+        embeds = model.apply({"params": params}, prompt_ids, method="embed")
+        positions = jnp.broadcast_to(jnp.arange(prompt_len),
+                                     (batch_size, prompt_len))
+        cache = init_kv_cache(cfg, batch_size, total)
+        kv_valid = jnp.arange(total)[None, :] < prompt_len
+        logits, _, cache = model.apply({"params": params}, embeds, positions,
+                                       kv_valid, cache, 0)
+
+        def step(carry, t):
+            cache, token = carry
+            emb = model.apply({"params": params}, token[:, None],
+                              method="embed")
+            kv_valid = jnp.arange(total)[None, :] < prompt_len + t + 1
+            lg, _, cache = model.apply(
+                {"params": params}, emb,
+                jnp.full((batch_size, 1), prompt_len + t), kv_valid, cache,
+                prompt_len + t)
+            return (cache, jnp.argmax(lg[:, 0], -1).astype(jnp.int32)), None
+
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32) + seed_token
+        (cache, last), _ = jax.lax.scan(step, (cache, first),
+                                        jnp.arange(text_steps))
+
+        # forced image span: 65 predetermined tokens, one parallel forward
+        span_ids = (jnp.arange(chunk, dtype=jnp.int32)[None, :]
+                    + last[:, None])
+        emb = model.apply({"params": params}, span_ids, method="embed")
+        pos = prompt_len + text_steps + jnp.arange(chunk)[None, :]
+        kv_valid = jnp.arange(total)[None, :] < prompt_len + text_steps + chunk
+        lg, hidden, cache = model.apply({"params": params}, emb, pos,
+                                        kv_valid, cache,
+                                        prompt_len + text_steps)
+
+        # one more step after </img> (eos)
+        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        emb = model.apply({"params": params}, tok[:, None], method="embed")
+        kv_valid = jnp.arange(total)[None, :] < total
+        lg2, _, cache = model.apply(
+            {"params": params}, emb,
+            jnp.full((batch_size, 1), total - 1), kv_valid, cache, total - 1)
+        return (jnp.sum(lg2[:, -1]).astype(jnp.float32)
+                + jnp.sum(hidden[:, -1]).astype(jnp.float32))
+
+    prompt = jax.random.randint(jax.random.PRNGKey(0),
+                                (batch_size, prompt_len), 0, 32000)
+    float(run(params, prompt, jnp.int32(0)))  # compile + warm
+    iters = 3
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        acc = acc * 0 + run(params, prompt, acc.astype(jnp.int32) * 0)
+    float(acc)
+    return (time.perf_counter() - t0) / iters
 
 
 def bench_vae_decode(height: int = 1024):
@@ -300,7 +383,8 @@ def main():
         print(json.dumps({
             "metric": "e2e_image_turn_single_chip",
             "value": round(best, 2),
-            "unit": "seconds (vit5 + prefill512/decode74 + sdxl30 + vae)",
+            "unit": ("seconds (vit5 + prefill512/9-step-decode/"
+                     "65-tok-img-chunk + sdxl30 + vae)"),
             "vs_baseline": None,
             "parts": {k: round(v, 2) for k, v in parts.items()},
         }))

@@ -122,6 +122,26 @@ def group_norm(cfg: "UNetConfig", name: str):
                      param_dtype=cfg.param_dtype, name=name)
 
 
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics but input-dtype HBM tensors (the
+    ``nn.LayerNorm(dtype=float32)`` spelling upcasts the whole activation).
+    Param names match ``nn.LayerNorm`` for 1:1 torch key mapping."""
+
+    param_dtype: Any = jnp.float32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        from seedx_tpu.ops.norms import layer_norm_fp32_stats
+
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (c,),
+                           self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          self.param_dtype)
+        return layer_norm_fp32_stats(x, scale, bias, self.epsilon)
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     cfg: UNetConfig
@@ -129,7 +149,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, temb):
         cfg = self.cfg
-        h = group_norm(cfg, "norm1")(x.astype(jnp.float32)).astype(cfg.dtype)
+        h = group_norm(cfg, "norm1")(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="conv1")(h)
@@ -137,7 +157,7 @@ class ResnetBlock(nn.Module):
                      param_dtype=cfg.param_dtype,
                      name="time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
-        h = group_norm(cfg, "norm2")(h.astype(jnp.float32)).astype(cfg.dtype)
+        h = group_norm(cfg, "norm2")(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="conv2")(h)
@@ -198,14 +218,13 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         cfg = self.cfg
-        ln = lambda name: nn.LayerNorm(dtype=jnp.float32,
-                                       param_dtype=cfg.param_dtype, name=name)
-        h = ln("norm1")(x.astype(jnp.float32)).astype(cfg.dtype)
+        ln = lambda name: LayerNorm(param_dtype=cfg.param_dtype, name=name)
+        h = ln("norm1")(x)
         x = x + CrossAttention(self.dim, None, cfg, name="attn1")(h)
-        h = ln("norm2")(x.astype(jnp.float32)).astype(cfg.dtype)
+        h = ln("norm2")(x)
         x = x + CrossAttention(self.dim, cfg.cross_attention_dim, cfg,
                                name="attn2")(h, context)
-        h = ln("norm3")(x.astype(jnp.float32)).astype(cfg.dtype)
+        h = ln("norm3")(x)
         h = GEGLU(self.dim * 4, cfg, name="ff_geglu")(h)
         x = x + nn.Dense(self.dim, dtype=cfg.dtype,
                          param_dtype=cfg.param_dtype, name="ff_out")(h)
@@ -222,8 +241,7 @@ class Transformer2D(nn.Module):
         cfg = self.cfg
         b, h, w, c = x.shape
         residual = x
-        hidden = group_norm(cfg, "norm")(
-            x.astype(jnp.float32)).astype(cfg.dtype)
+        hidden = group_norm(cfg, "norm")(x)
         hidden = hidden.reshape(b, h * w, c)
         hidden = nn.Dense(self.channels, dtype=cfg.dtype,
                           param_dtype=cfg.param_dtype, name="proj_in")(hidden)
@@ -341,8 +359,7 @@ class UNet2DCondition(nn.Module):
             if i < n_blocks - 1:
                 x = Upsample(ch, cfg, name=f"up_{i}_upsample")(x)
 
-        x = group_norm(cfg, "conv_norm_out")(
-            x.astype(jnp.float32)).astype(cfg.dtype)
+        x = group_norm(cfg, "conv_norm_out")(x)
         x = nn.silu(x)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
                        param_dtype=cfg.param_dtype, name="conv_out")(x)

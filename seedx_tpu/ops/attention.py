@@ -125,7 +125,15 @@ def dot_product_attention(
             m = kv_valid.astype(jnp.int32)
             starts = jnp.argmax(m, axis=-1).astype(jnp.int32)
             ends = starts + jnp.sum(m, axis=-1)
-        pad = (-head_dim) % 128
+        # A full-dim tail block is Mosaic-legal at any size, and head_dim 64
+        # (SDXL UNet) measures 1.5-2.3x faster unpadded than padded to 128 —
+        # pad only odd sizes (ViT-bigG's 104 -> 128, tiny debug dims -> 64).
+        if head_dim % 128 == 0 or head_dim == 64:
+            pad = 0
+        elif head_dim < 64:
+            pad = 64 - head_dim
+        else:
+            pad = (-head_dim) % 128
         if pad:
             widths = [(0, 0)] * 3 + [(0, pad)]
             q = jnp.pad(q, widths)
@@ -145,12 +153,13 @@ def dot_product_attention(
             if q_offset is None:
                 q_offset = kv_len - q_len  # pin alignment before padding
             q = jnp.pad(q, [(0, 0), (0, q_pad), (0, 0), (0, 0)])
-        # non-causal (ViT) tiles measure ~17% faster at 512 (no masked halves
-        # to waste work on); causal keeps 256.
-        block = 256 if causal else 512
+        # non-causal (ViT/UNet): bk=512 measures ~17% over 256 (no masked
+        # halves to waste work on) and bq=256 another ~20% at the SDXL
+        # level-1 shape (4096 tokens, head_dim 64); causal keeps 256/256.
+        bq, bk = (256, 256) if causal else (256, 512)
         out = flash_attention(q, k, v, starts=starts, ends=ends,
                               q_offset=q_offset, causal=causal, scale=scale,
-                              block_q=block, block_k=block)
+                              block_q=bq, block_k=bk)
         if q_pad:
             out = out[:, :q_len]
         return out[..., :head_dim] if pad else out

@@ -20,6 +20,24 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6) -> jnp.ndar
     return weight * normed.astype(dtype)
 
 
+def layer_norm_fp32_stats(x: jnp.ndarray, scale: jnp.ndarray,
+                          bias: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm with fp32 statistics and input-dtype output.
+
+    Same rationale as ``group_norm_fp32_stats``: ``nn.LayerNorm(dtype=f32)``
+    on an upcast input writes fp32 activations to HBM at every norm site in
+    the SDXL transformer stack; this keeps the HBM tensors in the compute
+    dtype while the mean/var math stays fp32.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mean)
+    normed = (xf - mean) * jax.lax.rsqrt(var + eps)
+    out = normed * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(dtype)
+
+
 def group_norm_fp32_stats(x: jnp.ndarray, scale: jnp.ndarray,
                           bias: jnp.ndarray, num_groups: int,
                           eps: float = 1e-5) -> jnp.ndarray:

@@ -60,3 +60,39 @@ def test_batched_results_match_single_runtime(rt, image):
     out = eng.flush()[0]
     assert list(out["tokens"]) == list(ref["tokens"])
     assert out["clean_text"] == ref["clean_text"]
+
+
+def test_chunked_image_span_matches_batched_serial():
+    """B=1 generation takes the forced-span chunk branch (65 image tokens in
+    one prefill-into-cache forward); B=2 of the same request stays on the
+    serial single-step path.  Greedy tokens must match exactly and the image
+    feature must match numerically."""
+    import numpy as np
+
+    from seedx_tpu.inference.runtime import SeedXRuntime
+    from seedx_tpu.models.generation import GenerationConfig, generate_batch
+
+    rt = SeedXRuntime.debug(image_size=56)
+    vocab = rt.tokenizer.vocab
+    n_img = rt.agent_cfg.num_img_out_tokens
+    # prompt ends with <img>: the forced span starts at the very first step
+    ids = [1, 5, 7, vocab.boi]
+    gen_cfg = GenerationConfig(
+        max_new_tokens=n_img + 6, num_img_gen_tokens=n_img,
+        eos_token_id=rt.tokenizer.eos_token_id,
+        pad_token_id=rt.tokenizer.pad_token_id)
+    req = {"input_ids": ids, "image_embeds": None, "embeds_cmp_mask": None,
+           "ids_cmp_mask": None, "patch_positions": None}
+
+    single = generate_batch(rt.agent, {"params": rt.agent_params},
+                            rt.tokenizer, [req], gen_cfg=gen_cfg)[0]
+    double = generate_batch(rt.agent, {"params": rt.agent_params},
+                            rt.tokenizer, [dict(req), dict(req)],
+                            gen_cfg=gen_cfg)
+    assert single["has_img_output"]
+    for row in double:
+        assert np.array_equal(single["tokens"], row["tokens"])
+        a = np.asarray(single["img_gen_feat"], np.float32)
+        r = np.asarray(row["img_gen_feat"], np.float32)
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-9)
+        assert rel < 5e-2, rel
