@@ -117,7 +117,9 @@ def generate_tokens(
 
       * early exit once every row is finished — a chat turn that ends at
         step 9 costs 9 steps, not ``max_new_tokens``,
-      * forced-span chunking (B=1): once ``<img>`` is emitted the next
+      * forced-span chunking: when EVERY live row has just emitted ``<img>``
+        (always at B=1; in batched text2img serving whenever the prompts are
+        structurally aligned) the next
         ``num_img_gen_tokens`` ids + ``</img>`` are fully determined by the
         constrained decoder, so they run as ONE prefill-into-cache forward
         (65 tokens in parallel on the MXU) instead of 65 serial decode steps.
@@ -147,9 +149,11 @@ def generate_tokens(
     out_hidden0 = jnp.zeros((b, t, last_hidden.shape[-1]), hid_dtype)
     out_finished0 = jnp.zeros((b, t), bool)
 
-    # The forced span is only synchronous across rows at B=1; batched rows
-    # hit <img> at different steps and keep the single-step forcing.
-    enable_chunk = (b == 1) and t >= n_img + 1
+    # The chunk fires when EVERY live row sits at <img> simultaneously —
+    # always true at B=1 image turns, and true for batched text2img serving
+    # where all prompts end with <img>.  Rows that desynchronise fall back to
+    # the single-step forcing path.
+    enable_chunk = t >= n_img + 1
     forced_ids = jnp.concatenate(
         [jnp.arange(vocab.img_token_start, vocab.img_token_start + n_img),
          jnp.asarray([vocab.eoi])]).astype(jnp.int32)      # [n_img + 1]
@@ -214,7 +218,7 @@ def generate_tokens(
         if not enable_chunk:
             return single_step(state)
         prev_token, finished, n = state[4], state[5], state[-1]
-        do_chunk = ((prev_token[0] == vocab.boi) & (~finished[0])
+        do_chunk = (jnp.all((prev_token == vocab.boi) & ~finished)
                     & (n + n_img + 1 <= t))
         return jax.lax.cond(do_chunk, chunk_step, single_step, state)
 

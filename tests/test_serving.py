@@ -50,6 +50,19 @@ def test_bucket_grouping_and_chunking(rt):
     assert order == [0, 1, 2, 3]
 
 
+def test_tile_bucket_padding_matches_exact(image):
+    """tile_buckets pads the ViT batch (bounding compiled programs); the
+    returned embeds/patch_pos must be identical to the exact-shape path."""
+    rt = SeedXRuntime.debug(image_size=56)
+    e1, p1 = rt.encode_image_anyres(image)
+    rt.tile_buckets = (e1.shape[0] + 3,)
+    e2, p2 = rt.encode_image_anyres(image)
+    assert e2.shape == e1.shape and p2.shape == p1.shape
+    np.testing.assert_allclose(np.asarray(e1, np.float32),
+                               np.asarray(e2, np.float32), atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
 def test_batched_results_match_single_runtime(rt, image):
     """Engine output for one comprehension == direct apps.comprehend."""
     from seedx_tpu.inference import apps
@@ -63,10 +76,11 @@ def test_batched_results_match_single_runtime(rt, image):
 
 
 def test_chunked_image_span_matches_batched_serial():
-    """B=1 generation takes the forced-span chunk branch (65 image tokens in
-    one prefill-into-cache forward); B=2 of the same request stays on the
-    serial single-step path.  Greedy tokens must match exactly and the image
-    feature must match numerically."""
+    """A prompt ending in <img> takes the forced-span chunk branch (65 image
+    tokens in one prefill-into-cache forward).  Batching it with a
+    desynchronised second prompt (not at <img>) forces the serial
+    single-step path for the whole batch.  Greedy tokens must match exactly
+    and the image feature must match numerically between the two paths."""
     import numpy as np
 
     from seedx_tpu.inference.runtime import SeedXRuntime
@@ -83,16 +97,25 @@ def test_chunked_image_span_matches_batched_serial():
         pad_token_id=rt.tokenizer.pad_token_id)
     req = {"input_ids": ids, "image_embeds": None, "embeds_cmp_mask": None,
            "ids_cmp_mask": None, "patch_positions": None}
+    # second row does NOT sit at <img>, so the batch cannot chunk
+    req_text = dict(req, input_ids=[1, 5, 7, 9])
 
     single = generate_batch(rt.agent, {"params": rt.agent_params},
                             rt.tokenizer, [req], gen_cfg=gen_cfg)[0]
+    mixed = generate_batch(rt.agent, {"params": rt.agent_params},
+                           rt.tokenizer, [dict(req), req_text],
+                           gen_cfg=gen_cfg)
+    assert single["has_img_output"]
+    row = mixed[0]
+    assert np.array_equal(single["tokens"], row["tokens"])
+    a = np.asarray(single["img_gen_feat"], np.float32)
+    r = np.asarray(row["img_gen_feat"], np.float32)
+    rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-9)
+    assert rel < 5e-2, rel
+
+    # batched SAME-structure prompts chunk together and still match
     double = generate_batch(rt.agent, {"params": rt.agent_params},
                             rt.tokenizer, [dict(req), dict(req)],
                             gen_cfg=gen_cfg)
-    assert single["has_img_output"]
     for row in double:
         assert np.array_equal(single["tokens"], row["tokens"])
-        a = np.asarray(single["img_gen_feat"], np.float32)
-        r = np.asarray(row["img_gen_feat"], np.float32)
-        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-9)
-        assert rel < 5e-2, rel
