@@ -54,6 +54,12 @@ class SeedXRuntime:
     resolution_grids: Sequence[str] = DEFAULT_RESOLUTION_GRIDS
     vit_down: bool = True
     mesh: Optional[Any] = None               # set by .shard()
+    # Anyres tile-count buckets for the ViT encode: each distinct tile count
+    # (2..5 under the default grids) compiles a separate ViT program; in a
+    # serving deployment set e.g. (5,) to pad every image to one bucket
+    # (one compile, ~padded-tile extra compute) or (3, 5) to trade.  None =
+    # exact counts (no padded compute, up to len(grids) compiles).
+    tile_buckets: Optional[Sequence[int]] = None
 
     # ---- constructors ------------------------------------------------------
 
@@ -76,6 +82,7 @@ class SeedXRuntime:
         README.md:74-158 + eval script setup eval_img2text_seed_x_i.py:66-117).
         """
         from seedx_tpu.models.factory import (build_agent, build_llm_config,
+                                              build_sdxl_adapter,
                                               build_visual_encoder)
 
         vit, vit_params = build_visual_encoder(pretrained_model_path=vit_path)
@@ -87,55 +94,12 @@ class SeedXRuntime:
 
         adapter = None
         if sdxl_unet_path or detokenizer_path:
-            from seedx_tpu.models.adapter import AdapterConfig, SDXLAdapter
-            from seedx_tpu.models.detokenizer import (DetokenizerConfig,
-                                                      ResamplerXL)
-            from seedx_tpu.models.sdxl.unet import (UNet2DCondition,
-                                                    sdxl_base_unet,
-                                                    sdxl_edit_unet)
-            from seedx_tpu.models.sdxl.vae import VAEConfig
-            from seedx_tpu.utils.sdxl_weights import (convert_sdxl_unet,
-                                                      convert_sdxl_vae)
-            from seedx_tpu.utils.weights import (
-                convert_detokenizer_resampler, load_torch_checkpoint)
-
-            ucfg = (sdxl_edit_unet() if with_latent_image
-                    else sdxl_base_unet())
-            rcfg = DetokenizerConfig()
-            unet_params = resampler_params = None
-            dec_params = enc_params = None
-            if sdxl_unet_path:
-                sd = load_torch_checkpoint(sdxl_unet_path)
-                unet_params = convert_sdxl_unet(
-                    sd, widen_conv_in_to=8 if with_latent_image else None)
-            if sdxl_vae_path:
-                sd = load_torch_checkpoint(sdxl_vae_path)
-                vae = convert_sdxl_vae(sd)
-                enc_params, dec_params = vae["encoder"], vae["decoder"]
-            if detokenizer_path:
-                sd = load_torch_checkpoint(detokenizer_path)
-                resampler_params = convert_detokenizer_resampler(sd)
-                # detokenizer ckpts may carry UNet deltas (full FT / to_k,to_v)
-                unet_sd = {k[len("unet."):]: v for k, v in sd.items()
-                           if k.startswith("unet.")}
-                if unet_sd and unet_params is not None:
-                    from flax import traverse_util
-
-                    deltas = convert_sdxl_unet(
-                        unet_sd,
-                        widen_conv_in_to=None) if any(
-                            k.startswith("conv_in") for k in unet_sd) else None
-                    if deltas:
-                        flat = traverse_util.flatten_dict(unet_params, sep="/")
-                        flat.update(traverse_util.flatten_dict(deltas, sep="/"))
-                        unet_params = traverse_util.unflatten_dict(flat, sep="/")
-            acfg = AdapterConfig(unet=ucfg, resampler=rcfg,
-                                 with_latent_image=with_latent_image)
-            adapter = SDXLAdapter(acfg, unet_params, resampler_params,
-                                  dec_params, enc_params,
-                                  visual_encoder=vit,
-                                  visual_encoder_params=vit_params,
-                                  vae_cfg=VAEConfig())
+            adapter = build_sdxl_adapter(
+                detokenizer_path=detokenizer_path,
+                sdxl_unet_path=sdxl_unet_path,
+                sdxl_vae_path=sdxl_vae_path,
+                with_latent_image=with_latent_image,
+                visual_encoder=vit, visual_encoder_params=vit_params)
 
         return cls(tokenizer=load_tokenizer(tokenizer_path),
                    vit_cfg=vit.cfg, vit=vit, vit_params=vit_params,
@@ -234,15 +198,15 @@ class SeedXRuntime:
         per GPU, here the agent/LLM and ViT weights shard per the logical
         rules (embed on ``fsdp``, heads/mlp/vocab on ``tensor``) and XLA's
         SPMD partitioner inserts the collectives; nothing in the forward
-        changes.  SDXL adapter weights stay replicated: image-side scale-out
-        rides data-parallel CFG branches, not weight sharding.
+        changes.  SDXL adapter weights stay replicated (every device needs
+        every conv) but the denoise ACTIVATIONS shard — CFG branches over
+        ``data``, latent rows over ``tensor`` via the UNet's logical
+        constraints (see ``SDXLAdapter.shard``).
 
         The Pallas flash kernel partitions natively on >1-device meshes
         (custom_partitioning over batch/head dims — ops/flash_attention.py),
         so no attention fallback is needed.
         """
-        from jax.sharding import NamedSharding, PartitionSpec
-
         from seedx_tpu.models.factory import abstract_params, agent_init_fn
         from seedx_tpu.parallel.mesh import (DEFAULT_RULES, local_mesh,
                                              place_params)
@@ -259,20 +223,12 @@ class SeedXRuntime:
                                          rules)
 
         if self.adapter is not None:
-            rep = NamedSharding(mesh, PartitionSpec())
-            put = lambda t: jax.tree.map(
-                lambda x: jax.device_put(x, rep), t) if t is not None else None
-            self.adapter.unet_params = put(self.adapter.unet_params)
-            self.adapter.resampler_params = put(self.adapter.resampler_params)
-            self.adapter.vae_decoder_params = put(
-                self.adapter.vae_decoder_params)
-            self.adapter.vae_encoder_params = put(
-                self.adapter.vae_encoder_params)
-            if self.adapter.visual_encoder is self.vit:
+            shared_vit = self.adapter.visual_encoder is self.vit
+            if shared_vit:    # re-linked to the fsdp-sharded copy below
+                self.adapter.visual_encoder_params = None
+            self.adapter.shard(mesh, rules)
+            if shared_vit:
                 self.adapter.visual_encoder_params = self.vit_params
-            else:
-                self.adapter.visual_encoder_params = put(
-                    self.adapter.visual_encoder_params)
 
         self.mesh = mesh
         return self
@@ -289,13 +245,25 @@ class SeedXRuntime:
 
     def encode_image_anyres(self, image):
         """PIL image -> (vit_embeds [n_tiles+1, T, D], patch_pos
-        [n_tiles+1, 2]) (reference: eval_img2text_seed_x_i.py:132-141)."""
+        [n_tiles+1, 2]) (reference: eval_img2text_seed_x_i.py:132-141).
+
+        With ``tile_buckets`` set, the tile stack is zero-padded to the next
+        bucket before the ViT runs (bounding the number of distinct compiled
+        ViT programs) and sliced back after — callers see exact shapes either
+        way."""
         tiles, patch_pos = process_anyres_image(
             image, self.image_transform(), self.grid_pinpoints(),
             self.base_resolution)
+        n = tiles.shape[0]
+        if self.tile_buckets:
+            nb = next((x for x in sorted(self.tile_buckets) if x >= n), n)
+            if nb > n:
+                tiles = np.concatenate(
+                    [tiles, np.zeros((nb - n, *tiles.shape[1:]),
+                                     tiles.dtype)])
         embeds = self.vit.apply({"params": self.vit_params},
                                 jnp.asarray(tiles))
-        return embeds, jnp.asarray(patch_pos)
+        return embeds[:n], jnp.asarray(patch_pos)
 
     def encode_image_single(self, image):
         """One 448px crop -> [1, T, D]."""

@@ -46,12 +46,16 @@ class ServingEngine:
 
     def __init__(self, rt: SeedXRuntime, max_batch_size: int = 8,
                  max_new_tokens: int = 512, num_inference_steps: int = 50,
-                 seed: int = 42):
+                 seed: int = 42, tile_buckets: Optional[Any] = None):
         self.rt = rt
         self.max_batch_size = max_batch_size
         self.max_new_tokens = max_new_tokens
         self.num_inference_steps = num_inference_steps
         self.seed = seed
+        if tile_buckets is not None:
+            # bound distinct compiled ViT programs across anyres tile counts
+            # (runtime.encode_image_anyres pads to the next bucket)
+            rt.tile_buckets = tuple(tile_buckets)
         self._pending: List[_Pending] = []
         self._count = 0
 

@@ -77,6 +77,55 @@ class SDXLAdapter:
         self.vae_encoder_params = vae_encoder_params
         self.visual_encoder = visual_encoder
         self.visual_encoder_params = visual_encoder_params
+        self.mesh = None                  # set by .shard()
+        self.rules = None
+
+    # ---- SPMD placement ------------------------------------------------------
+
+    def shard(self, mesh, rules=None) -> "SDXLAdapter":
+        """SPMD denoising over a device mesh.
+
+        The UNet/VAE/resampler weights replicate (2.6B bf16 fits per chip and
+        every device needs every conv); the *activations* shard — CFG branches
+        over the ``data`` axis and latent rows over ``tensor``, via the
+        ``("cfg_batch", "height")`` logical constraints baked into the UNet
+        forward (models/sdxl/unet.py).  GSPMD derives the conv halo exchanges
+        and the gathers around self-attention.  Pick ``data`` ∈ {1, #CFG
+        branches} (2 for t2i, 3 for edit) so the branch dim divides evenly.
+
+        The reference runs the whole SDXL denoise on one GPU
+        (pipeline_stable_diffusion_xl_t2i_edit.py:900-963); this is the
+        v5e-8 scale-out path for the image side.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from seedx_tpu.parallel.mesh import DEFAULT_RULES
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        put = lambda t: jax.tree.map(
+            lambda x: jax.device_put(x, rep), t) if t is not None else None
+        self.unet_params = put(self.unet_params)
+        self.resampler_params = put(self.resampler_params)
+        self.vae_decoder_params = put(self.vae_decoder_params)
+        self.vae_encoder_params = put(self.vae_encoder_params)
+        self.visual_encoder_params = put(self.visual_encoder_params)
+        self.mesh = mesh
+        self.rules = tuple(rules) if rules is not None else DEFAULT_RULES
+        return self
+
+    def _mesh_scope(self):
+        """Context activating the mesh + logical rules for sharded denoise
+        (a no-op nullcontext when .shard() was never called)."""
+        import contextlib
+
+        from flax import linen as nn
+
+        if self.mesh is None:
+            return contextlib.nullcontext()
+        stack = contextlib.ExitStack()
+        stack.enter_context(self.mesh)
+        stack.enter_context(nn.logical_axis_rules(self.rules))
+        return stack
 
     # ---- conditioning ------------------------------------------------------
 
@@ -152,6 +201,13 @@ class SDXLAdapter:
         schedule = make_schedule(steps)
         b = image_embeds.shape[0]
 
+        with self._mesh_scope():
+            return self._generate_inner(
+                image_embeds, latent_image, negative_embeds, from_vit, seed,
+                steps, g, gi, schedule, cfg, b)
+
+    def _generate_inner(self, image_embeds, latent_image, negative_embeds,
+                        from_vit, seed, steps, g, gi, schedule, cfg, b):
         prompt, neg_prompt, pooled, neg_pooled = self.get_conditioning(
             image_embeds, negative_embeds, from_vit=from_vit)
         rng = jax.random.PRNGKey(seed)

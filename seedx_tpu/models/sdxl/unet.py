@@ -19,6 +19,13 @@ SDXL base geometry:
 TPU-first: NHWC layout throughout, bf16 compute with fp32 GroupNorm, heads
 fused into one qkv matmul for self-attention; the whole forward jits into a
 single program (no python per-block dispatch at runtime).
+
+SPMD: activations carry ``("cfg_batch", "height", None, None)`` logical
+constraints at every resolution change, so under an active mesh +
+``nn.logical_axis_rules`` (see ``SDXLAdapter.shard``) the CFG branches shard
+over the ``data`` axis and the latent rows over ``tensor`` — GSPMD inserts
+the conv halo exchanges and re-gathers around self-attention.  With no rules
+in scope the constraints are no-ops, so the single-chip path is unchanged.
 """
 
 from __future__ import annotations
@@ -31,6 +38,11 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from seedx_tpu.ops.attention import dot_product_attention
+
+
+def _spatial_constraint(x: jnp.ndarray) -> jnp.ndarray:
+    """Logical sharding hint on NHWC activations (no-op without rules)."""
+    return nn.with_logical_constraint(x, ("cfg_batch", "height", None, None))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -321,6 +333,7 @@ class UNet2DCondition(nn.Module):
         x = nn.Conv(ch0, (3, 3), padding=1, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype,
                     name="conv_in")(sample.astype(cfg.dtype))
+        x = _spatial_constraint(x)
 
         # --- down ---
         skips = [x]
@@ -334,7 +347,8 @@ class UNet2DCondition(nn.Module):
                                       name=f"down_{i}_attn_{j}")(x, context)
                 skips.append(x)
             if i < n_blocks - 1:
-                x = Downsample(ch, cfg, name=f"down_{i}_downsample")(x)
+                x = _spatial_constraint(
+                    Downsample(ch, cfg, name=f"down_{i}_downsample")(x))
                 skips.append(x)
 
         # --- mid ---
@@ -344,6 +358,7 @@ class UNet2DCondition(nn.Module):
         if mid_depth:
             x = Transformer2D(ch, mid_depth, cfg, name="mid_attn")(x, context)
         x = ResnetBlock(ch, cfg, name="mid_res_1")(x, temb)
+        x = _spatial_constraint(x)
 
         # --- up (reversed channels, layers_per_block+1 resnets) ---
         for i, ch in enumerate(reversed(cfg.block_out_channels)):
@@ -357,7 +372,8 @@ class UNet2DCondition(nn.Module):
                     x = Transformer2D(ch, depth, cfg,
                                       name=f"up_{i}_attn_{j}")(x, context)
             if i < n_blocks - 1:
-                x = Upsample(ch, cfg, name=f"up_{i}_upsample")(x)
+                x = _spatial_constraint(
+                    Upsample(ch, cfg, name=f"up_{i}_upsample")(x))
 
         x = group_norm(cfg, "conv_norm_out")(x)
         x = nn.silu(x)

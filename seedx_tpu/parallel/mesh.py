@@ -51,6 +51,12 @@ DEFAULT_RULES: Tuple[Tuple[str, Any], ...] = (
     ("conv_io", None),
     ("layers", None),
     ("queries", None),
+    # SDXL denoise activations (models/sdxl/unet.py): CFG branches ride the
+    # data axis, the latent height dim shards over tensor — GSPMD inserts the
+    # conv halo exchanges.  No-ops unless the caller activates
+    # ``nn.logical_axis_rules`` under a mesh (SDXLAdapter.shard).
+    ("cfg_batch", "data"),
+    ("height", "tensor"),
 )
 
 # FSDP + tensor-parallel rules for the 13B backbone on larger slices.

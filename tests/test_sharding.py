@@ -162,3 +162,34 @@ def test_sharded_runtime_inference_matches_single():
 
     out = apps.comprehend(rt2, image, "what?", max_new_tokens=4)
     assert list(out["tokens"]) == list(ref["tokens"])
+
+
+def test_sharded_sdxl_denoise_matches_single():
+    """SDXLAdapter.shard(): the denoise runs SPMD — latent rows over the
+    ``tensor`` axis (GSPMD conv halos), CFG branches over ``data`` — and must
+    reproduce the single-device images (reference runs the whole denoise on
+    one GPU, pipeline_stable_diffusion_xl_t2i_edit.py:900-963)."""
+    from PIL import Image
+
+    from seedx_tpu.inference.runtime import SeedXRuntime
+    from seedx_tpu.parallel import create_mesh
+
+    rng = np.random.RandomState(5)
+    image = Image.fromarray(rng.randint(0, 255, (60, 60, 3), np.uint8))
+
+    rt = SeedXRuntime.debug(with_adapter=True)
+    embeds = rt.encode_image_single(image)
+    ref = rt.adapter.generate(embeds, from_vit=True, num_inference_steps=3)
+
+    rt2 = SeedXRuntime.debug(with_adapter=True)
+    mesh = create_mesh(data=1, fsdp=1, tensor=8)
+    # adapter-only shard: the agent's vocab (32330 = 2*5*53*61) limits the
+    # tensor axis to {2, 5} — the image side has no such constraint, so a
+    # serving slice can give SDXL all 8 devices on `tensor`.
+    rt2.adapter.shard(mesh)
+    assert rt2.adapter.mesh is mesh
+    embeds2 = rt2.encode_image_single(image)
+    out = rt2.adapter.generate(embeds2, from_vit=True, num_inference_steps=3)
+
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-2)
