@@ -210,3 +210,78 @@ def build_agent(
     else:
         params = nn.meta.unbox(init_fn()["params"])
     return model, params
+
+
+def build_sdxl_adapter(
+    resampler: Any = None,
+    detokenizer_path: Optional[str] = None,   # pretrained/seed_detokenizer/*
+    sdxl_unet_path: Optional[str] = None,     # SDXL base unet safetensors
+    sdxl_vae_path: Optional[str] = None,
+    with_latent_image: bool = False,          # SEED-X-Edit variant
+    vit_down: bool = True,
+    visual_encoder: Any = None,
+    visual_encoder_params: Any = None,
+    **unused,                                 # full_ft etc. are train-time
+) -> Any:
+    """Config-graph target mirroring the reference's
+    ``SDXLAdapter[WithLatentImage].from_pretrained``
+    (reference: src/models/detokenizer/adapter_modules.py:11,172 +
+    configs/sdxl_adapter/*.yaml).  ``full_ft``/``set_trainable_late`` are
+    training-time trainable-set switches in the reference; here the
+    trainable set is an optax mask (ADAPTER_TRAINABLE_PATTERNS), so those
+    keys are accepted and ignored.
+
+    Returns a ``SDXLAdapter`` bundling UNet + resampler (+ VAE when paths
+    are given).
+    """
+    from seedx_tpu.models.adapter import AdapterConfig, SDXLAdapter
+    from seedx_tpu.models.detokenizer import DetokenizerConfig
+    from seedx_tpu.models.sdxl.unet import sdxl_base_unet, sdxl_edit_unet
+    from seedx_tpu.models.sdxl.vae import VAEConfig
+    from seedx_tpu.utils.sdxl_weights import (convert_sdxl_unet,
+                                              convert_sdxl_vae)
+    from seedx_tpu.utils.weights import (convert_detokenizer_resampler,
+                                         load_torch_checkpoint)
+
+    if resampler is None:
+        rcfg = DetokenizerConfig()
+    elif isinstance(resampler, DetokenizerConfig):
+        rcfg = resampler
+    else:                                     # plain dict from YAML
+        rcfg = DetokenizerConfig(**{k: v for k, v in dict(resampler).items()
+                                    if k != "_target_"})
+
+    ucfg = sdxl_edit_unet() if with_latent_image else sdxl_base_unet()
+    unet_params = resampler_params = None
+    dec_params = enc_params = None
+    if sdxl_unet_path:
+        sd = load_torch_checkpoint(sdxl_unet_path)
+        unet_params = convert_sdxl_unet(
+            sd, widen_conv_in_to=8 if with_latent_image else None)
+    if sdxl_vae_path:
+        sd = load_torch_checkpoint(sdxl_vae_path)
+        vae = convert_sdxl_vae(sd)
+        enc_params, dec_params = vae["encoder"], vae["decoder"]
+    if detokenizer_path:
+        sd = load_torch_checkpoint(detokenizer_path)
+        resampler_params = convert_detokenizer_resampler(sd)
+        # detokenizer ckpts may carry UNet deltas (full FT / to_k,to_v)
+        unet_sd = {k[len("unet."):]: v for k, v in sd.items()
+                   if k.startswith("unet.")}
+        if unet_sd and unet_params is not None:
+            from flax import traverse_util
+
+            deltas = convert_sdxl_unet(
+                unet_sd, widen_conv_in_to=None) if any(
+                    k.startswith("conv_in") for k in unet_sd) else None
+            if deltas:
+                flat = traverse_util.flatten_dict(unet_params, sep="/")
+                flat.update(traverse_util.flatten_dict(deltas, sep="/"))
+                unet_params = traverse_util.unflatten_dict(flat, sep="/")
+
+    acfg = AdapterConfig(unet=ucfg, resampler=rcfg, vit_down=vit_down,
+                         with_latent_image=with_latent_image)
+    return SDXLAdapter(acfg, unet_params, resampler_params, dec_params,
+                       enc_params, visual_encoder=visual_encoder,
+                       visual_encoder_params=visual_encoder_params,
+                       vae_cfg=VAEConfig())

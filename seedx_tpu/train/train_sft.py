@@ -226,6 +226,11 @@ def main(argv=None):
     p.add_argument("--min_lr_ratio", type=float, default=0.05)
     p.add_argument("--save_steps", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--parallel", default=None,
+                   help="mesh layout YAML (configs/parallel/*.yaml); "
+                        "default: all local devices on the fsdp axis — the "
+                        "reference's ZeRO-3 analogue")
     args = p.parse_args(argv)
 
     from seedx_tpu.parallel.distributed import maybe_initialize
@@ -242,11 +247,14 @@ def main(argv=None):
     train_cfg = TrainConfig(
         learning_rate=args.learning_rate, weight_decay=args.weight_decay,
         max_steps=args.max_steps, warmup_steps=args.warmup_steps,
-        min_lr_ratio=args.min_lr_ratio)
+        min_lr_ratio=args.min_lr_ratio,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
     run_cfg = RunConfig(output_dir=args.output_dir,
                         save_steps=args.save_steps, resume=args.resume)
+    mesh = (config_lib.instantiate_from_file(args.parallel)
+            if args.parallel else None)
     train_loop(agent, agent_params, vit, vit_params, data_iter, train_cfg,
-               run_cfg)
+               run_cfg, mesh=mesh)
 
 
 if __name__ == "__main__":
