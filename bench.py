@@ -288,6 +288,94 @@ def bench_decode_turn(prompt_len: int = 512, text_steps: int = 9,
     return (time.perf_counter() - t0) / iters
 
 
+def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
+                           prompt_len: int = 120, max_new_tokens: int = 128,
+                           num_layers: int = 40):
+    """Continuous-batching serving throughput on the full 13B geometry
+    (int4 weights + int8 KV): heterogeneous per-request budgets (1/4, 1/2,
+    1x max_new_tokens round-robin) so slots free at different times and the
+    engine back-fills them — the utilization case a flush-batched engine
+    loses.  Reports aggregate generated tokens/sec/chip.
+
+    Timing is closed by the engine's own per-chunk host reads of the
+    running/n flags (data-dependent on every decode step, so the tunnel
+    cannot dedupe or run ahead)."""
+    import types
+
+    import numpy as np
+    from flax import linen as nn
+
+    from seedx_tpu.inference.continuous import ContinuousEngine
+    from seedx_tpu.models.agent import AgentConfig, ContinuousLVLM
+    from seedx_tpu.models.llama import llama2_13b
+    from seedx_tpu.text.tokenizer import load_tokenizer
+
+    llm_cfg = llama2_13b(quantization="int4", num_layers=num_layers,
+                         kv_quantization="int8", param_dtype=jnp.bfloat16,
+                         remat=False)
+    agent_cfg = AgentConfig(llm=llm_cfg)
+    model = ContinuousLVLM(agent_cfg)
+
+    ids = jnp.zeros((1, 8), jnp.int32)
+    attn = jnp.ones((1, 8), bool)
+    img = jnp.zeros((1, 256, agent_cfg.vit_dim), jnp.bfloat16)
+    fmask = jnp.zeros((1,), bool)
+    idsm = jnp.zeros((1, 8), bool)
+    shapes = nn.meta.unbox(jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids, attn,
+                           jnp.where(attn, ids, -100), img, fmask, fmask,
+                           idsm, idsm, jnp.full((1, 2), 0.5),
+                           method="init_all"))["params"])
+
+    def fill(path, x):
+        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+        if x.dtype == jnp.int8:
+            return jax.random.randint(key, x.shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
+        if x.dtype == jnp.uint8:
+            return jax.random.randint(key, x.shape, 0, 256, jnp.int32
+                                      ).astype(jnp.uint8)
+        return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
+                ).astype(x.dtype)
+
+    params = jax.jit(
+        lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
+    jax.block_until_ready(params)
+
+    rt = types.SimpleNamespace(agent=model, agent_params=params,
+                               agent_cfg=agent_cfg,
+                               tokenizer=load_tokenizer())
+
+    rng = np.random.RandomState(0)
+
+    def make_requests(n):
+        reqs = []
+        for i in range(n):
+            p = prompt_len + int(rng.randint(-16, 16))
+            budget = [max_new_tokens // 4, max_new_tokens // 2,
+                      max_new_tokens][i % 3]
+            reqs.append(({"input_ids": [1] + list(rng.randint(3, 30000, p)),
+                          "image_embeds": None, "embeds_cmp_mask": None,
+                          "ids_cmp_mask": None, "patch_positions": None},
+                         budget))
+        return reqs
+
+    def drain(n):
+        eng = ContinuousEngine(rt, slots=slots,
+                               max_new_tokens=max_new_tokens,
+                               chunk_steps=32, prompt_buckets=(256,))
+        for req, budget in make_requests(n):
+            eng.submit(req, max_new_tokens=budget)
+        results = eng.run()
+        return sum(len(r["tokens"]) for r in results.values())
+
+    drain(slots)                         # compile + warm every program
+    t0 = time.perf_counter()
+    total = drain(n_requests)
+    dt = time.perf_counter() - t0
+    return total / dt
+
+
 def bench_vae_decode(height: int = 1024):
     """Seconds for one SDXL VAE decode at 1024^2 (bf16)."""
     from flax import linen as nn
@@ -362,7 +450,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--metric", default="vit_encode",
                    choices=["vit_encode", "decode_13b", "sdxl_denoise",
-                            "e2e_turn"])
+                            "e2e_turn", "serve_continuous"])
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--batch", type=int, default=1,
                    help="decode_13b batch size (batched serving engine "
@@ -387,6 +475,14 @@ def main():
                      "65-tok-img-chunk + sdxl30 + vae)"),
             "vs_baseline": None,
             "parts": {k: round(v, 2) for k, v in parts.items()},
+        }))
+    elif args.metric == "serve_continuous":
+        value = _best_of(bench_serve_continuous, args.repeats)
+        print(json.dumps({
+            "metric": "llama13b_int4_serve_continuous_8slot",
+            "value": round(value, 2),
+            "unit": "tokens/sec/chip (heterogeneous budgets, rolling admission)",
+            "vs_baseline": None,
         }))
     elif args.metric == "sdxl_denoise":
         value = _best_of(bench_sdxl_denoise, args.repeats)

@@ -1,0 +1,312 @@
+"""Continuous (slot-based) batching: rolling admission into a live decode.
+
+The reference serves one prompt at a time through HF ``generate``
+(reference: src/inference/eval_img2text_seed_x_i.py — a bare for-loop);
+``ServingEngine.flush`` batches, but every request in a batch starts and
+finishes together, so one long answer holds the whole batch.  This engine
+is the TPU-native analogue of vLLM-style continuous batching, built on
+static shapes:
+
+  * a fixed pool of B *slots*, each owning rows of one preallocated KV
+    cache sized ``max(prompt_buckets) + max_new_tokens``;
+  * prompts prefill into a fresh mini-cache (right-padded to a prompt
+    bucket, one compiled program per bucket) and are spliced into a free
+    slot row with ``dynamic_update_slice`` — admission never recompiles the
+    decode;
+  * decode advances ALL live slots together in jitted chunks of K steps;
+    every row carries its own position / cache depth (the per-row
+    ``cache_index`` scatter in models/llama.py) and its own contiguous
+    kv-window mask, so rows at depth 40 and depth 900 share one program;
+  * finished rows freeze (their logits/KV writes are masked garbage past
+    the valid window) and are harvested + refilled between chunks.
+
+Constrained image-token decoding (``constrain_image_tokens``) applies
+per-row, so image spans interleave freely with text across slots.  Greedy
+decoding only (the reference's inference default, seed_x.py:180).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from seedx_tpu.models.agent import ContinuousLVLM
+from seedx_tpu.models.generation import (GenerationConfig, _trim_and_spans,
+                                         constrain_image_tokens)
+from seedx_tpu.models.llama import init_kv_cache
+from seedx_tpu.text.vocab import DEFAULT_VOCAB, MultimodalVocab
+
+
+@functools.partial(jax.jit, static_argnames=("model", "bucket"))
+def _prefill(model, variables, embeds, p_len, bucket):
+    """Right-padded prompt -> (mini_cache [L, 1, bucket, ...], last_logits
+    [V] fp32, last_hidden [D]).  One compile per prompt bucket."""
+    cfg = model.cfg.llm
+    cache = init_kv_cache(cfg, 1, bucket)
+    positions = jnp.arange(bucket)[None, :]
+    kv_valid = (jnp.arange(bucket) < p_len)[None, :]
+    logits, hidden, cache = model.apply(
+        variables, embeds, positions, kv_valid, cache, 0, method="llm_step")
+    last = p_len - 1
+    return (cache,
+            jax.lax.dynamic_index_in_dim(logits[0], last, 0,
+                                         keepdims=False).astype(jnp.float32),
+            jax.lax.dynamic_index_in_dim(hidden[0], last, 0, keepdims=False))
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def _admit(state, row, mini_cache, p_len, last_logits, last_hidden,
+           last_token, budget):
+    """Splice a prefilled request into slot ``row``; O(bucket) cache copy."""
+    def splice(big, mini):
+        # mini [L, 1, bucket, ...] -> big [L, B, S, ...] at (0, row, 0, ...)
+        idx = (0, row) + (0,) * (big.ndim - 2)
+        return jax.lax.dynamic_update_slice(big, mini.astype(big.dtype), idx)
+
+    state = dict(state)
+    state["cache"] = jax.tree.map(splice, state["cache"], mini_cache)
+    upd = lambda buf, v: buf.at[row].set(jnp.asarray(v, buf.dtype))
+    state["pos"] = upd(state["pos"], p_len)
+    state["length"] = upd(state["length"], p_len)
+    state["n"] = upd(state["n"], jnp.int32(0))
+    state["prev_logits"] = upd(state["prev_logits"], last_logits)
+    state["prev_hidden"] = upd(state["prev_hidden"], last_hidden)
+    state["prev_token"] = upd(state["prev_token"], last_token)
+    state["running"] = upd(state["running"], True)
+    state["budget"] = upd(state["budget"], budget)
+    state["out_tokens"] = state["out_tokens"].at[row].set(0)
+    return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "vocab", "k"),
+    donate_argnames=("state",))
+def _decode_chunk(model, variables, state, gen_cfg: GenerationConfig,
+                  vocab: MultimodalVocab, k: int):
+    """Advance every running slot by up to ``k`` greedy steps."""
+    b, t = state["out_tokens"].shape
+    s_max = state["cache"][0].shape[2]
+    n_img = gen_cfg.num_img_gen_tokens
+    rows = jnp.arange(b)
+    hid_dtype = state["out_hidden"].dtype
+
+    def step(st):
+        state, i = st
+        running = state["running"]
+        constrained = constrain_image_tokens(
+            state["prev_token"], state["prev_logits"], vocab, n_img)
+        token = jnp.argmax(constrained, axis=-1).astype(jnp.int32)
+        token = jnp.where(running, token, gen_cfg.pad_token_id)
+
+        # collect (read-modify-write so frozen rows keep their cells)
+        n_w = jnp.minimum(state["n"], t - 1)
+        cur_tok = state["out_tokens"][rows, n_w]
+        out_tokens = state["out_tokens"].at[rows, n_w].set(
+            jnp.where(running, token, cur_tok))
+        cur_hid = state["out_hidden"][rows, n_w]
+        out_hidden = state["out_hidden"].at[rows, n_w].set(
+            jnp.where(running[:, None],
+                      state["prev_hidden"].astype(hid_dtype), cur_hid))
+
+        ended = token == gen_cfg.eos_token_id
+        n_new = jnp.where(running, state["n"] + 1, state["n"])
+        still = running & ~ended & (n_new < state["budget"])
+
+        # one forward for every slot (frozen rows compute masked garbage)
+        embeds = model.apply(variables, token[:, None], method="embed_ids")
+        pos = state["pos"]
+        kv_valid = jnp.arange(s_max)[None, :] <= pos[:, None]
+        logits, hidden, cache = model.apply(
+            variables, embeds, pos[:, None], kv_valid, state["cache"], pos,
+            method="llm_step")
+
+        keep = lambda new, old: jnp.where(
+            running.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+        state = dict(
+            state, cache=cache, out_tokens=out_tokens, out_hidden=out_hidden,
+            n=n_new, running=still,
+            pos=jnp.where(running, pos + 1, pos),
+            length=jnp.where(running, state["length"] + 1, state["length"]),
+            prev_logits=keep(logits[:, 0].astype(jnp.float32),
+                             state["prev_logits"]),
+            prev_hidden=keep(hidden[:, 0], state["prev_hidden"]),
+            prev_token=jnp.where(running, token, state["prev_token"]))
+        return state, i + 1
+
+    def cond(st):
+        state, i = st
+        return (i < k) & jnp.any(state["running"])
+
+    state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
+    return state
+
+
+class ContinuousEngine:
+    """Rolling-admission decode over a fixed slot pool.
+
+    Usage::
+
+        eng = ContinuousEngine(rt, slots=8, max_new_tokens=256)
+        ids = [eng.submit(req) for req in requests]   # generate_batch schema
+        results = eng.run()                           # {id: result dict}
+
+    ``submit`` may also be called between ``eng.step()`` calls — requests
+    admit into slots as they free, which is the point.
+    """
+
+    def __init__(self, rt, slots: int = 8, max_new_tokens: int = 256,
+                 chunk_steps: int = 16,
+                 prompt_buckets=(128, 256, 512, 1024)):
+        self.rt = rt
+        self.model: ContinuousLVLM = rt.agent
+        self.variables = {"params": rt.agent_params}
+        self.vocab = rt.tokenizer.vocab
+        self.gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            num_img_gen_tokens=rt.agent_cfg.num_img_out_tokens,
+            eos_token_id=rt.tokenizer.eos_token_id,
+            pad_token_id=rt.tokenizer.pad_token_id,
+            prompt_buckets=tuple(prompt_buckets))
+        self.slots = slots
+        self.chunk_steps = chunk_steps
+        self._pending: List[tuple] = []     # (req_id, request)
+        self._slot_req: List[Optional[int]] = [None] * slots
+        self._results: Dict[int, Dict[str, Any]] = {}
+        self._count = 0
+
+        cfg = self.model.cfg.llm
+        t = max_new_tokens
+        s_max = max(self.gen_cfg.prompt_buckets) + t
+        self._s_max = s_max
+        self.state = {
+            "cache": init_kv_cache(cfg, slots, s_max),
+            "pos": jnp.zeros((slots,), jnp.int32),
+            "length": jnp.zeros((slots,), jnp.int32),
+            "n": jnp.zeros((slots,), jnp.int32),
+            "prev_logits": jnp.zeros((slots, cfg.vocab_size), jnp.float32),
+            "prev_hidden": jnp.zeros((slots, cfg.hidden_size), cfg.dtype),
+            "prev_token": jnp.full((slots,), self.gen_cfg.pad_token_id,
+                                   jnp.int32),
+            "running": jnp.zeros((slots,), bool),
+            "budget": jnp.full((slots,), t, jnp.int32),
+            "out_tokens": jnp.zeros((slots, t), jnp.int32),
+            "out_hidden": jnp.zeros((slots, t, cfg.hidden_size), cfg.dtype),
+        }
+
+    # ---- submission ------------------------------------------------------
+
+    def submit(self, request: Dict[str, Any],
+               max_new_tokens: Optional[int] = None) -> int:
+        """Queue a request (generate_batch schema); returns its id.
+        ``max_new_tokens`` caps THIS request (≤ the engine-wide budget) —
+        rows with small budgets free their slots early, which is where
+        continuous batching beats the all-rows-run-together flush."""
+        rid = self._count
+        self._count += 1
+        budget = min(max_new_tokens or self.gen_cfg.max_new_tokens,
+                     self.gen_cfg.max_new_tokens)
+        self._pending.append((rid, request, budget))
+        return rid
+
+    # ---- internals -------------------------------------------------------
+
+    def _prepare_and_prefill(self, request):
+        ids = list(request["input_ids"])
+        p_len = len(ids)
+        bucket = next((x for x in self.gen_cfg.prompt_buckets if x >= p_len),
+                      p_len)
+        padded = np.full((1, bucket), self.gen_cfg.pad_token_id, np.int32)
+        padded[0, :p_len] = np.asarray(ids, np.int32)      # RIGHT-padded
+        cm = request.get("ids_cmp_mask")
+        cmp_padded = None
+        if cm is not None:
+            cmp_padded = np.zeros((1, bucket), bool)
+            cmp_padded[0, :p_len] = np.asarray(cm, bool)
+        embeds = self.model.apply(
+            self.variables, jnp.asarray(padded),
+            request.get("image_embeds"),
+            jnp.asarray(cmp_padded) if cmp_padded is not None else None,
+            (jnp.asarray(request["embeds_cmp_mask"])
+             if request.get("embeds_cmp_mask") is not None else None),
+            request.get("patch_positions"),
+            method="embed_with_images")
+        mini, last_logits, last_hidden = _prefill(
+            self.model, self.variables, embeds, jnp.int32(p_len), bucket)
+        return mini, last_logits, last_hidden, jnp.int32(ids[-1]), p_len
+
+    def _admit_pending(self):
+        free = [i for i, r in enumerate(self._slot_req) if r is None]
+        while free and self._pending:
+            row = free.pop(0)
+            rid, request, budget = self._pending.pop(0)
+            mini, lg, lh, last_tok, _ = self._prepare_and_prefill(request)
+            self.state = _admit(self.state, jnp.int32(row), mini,
+                                jnp.int32(len(request["input_ids"])), lg, lh,
+                                last_tok, jnp.int32(budget))
+            self._slot_req[row] = rid
+
+    def _harvest(self):
+        running = np.asarray(self.state["running"])
+        n = np.asarray(self.state["n"])
+        done_rows = [i for i, rid in enumerate(self._slot_req)
+                     if rid is not None and not running[i]]
+        if not done_rows:
+            return
+        out_tokens = np.asarray(self.state["out_tokens"])
+        n_img = self.gen_cfg.num_img_gen_tokens
+        span_list = []
+        rows_meta = []
+        for i in done_rows:
+            tokens, eoi = _trim_and_spans(out_tokens[i, :n[i]], self.gen_cfg,
+                                          self.vocab)
+            rows_meta.append((i, tokens, eoi))
+            span_list.extend((i, j) for j in eoi)
+        img_gen_all = None
+        if span_list:
+            spans = jnp.stack([self.state["out_hidden"][i, j - n_img:j]
+                               for i, j in span_list])
+            img_gen_all = self.model.apply(self.variables, spans,
+                                           method="decode_image_feats")
+        consumed = 0
+        for i, tokens, eoi in rows_meta:
+            feat = None
+            if eoi:
+                feat = img_gen_all[consumed:consumed + len(eoi)]
+                consumed += len(eoi)
+            text_mask = np.ones(len(tokens), bool)
+            for j in eoi:
+                text_mask[j - n_img:j] = False
+            text_mask[tokens == self.vocab.boi] = False
+            self._results[self._slot_req[i]] = {
+                "text": self.rt.tokenizer.decode(tokens[text_mask]),
+                "has_img_output": bool(eoi),
+                "img_gen_feat": feat,
+                "num_gen_imgs": len(eoi),
+                "tokens": tokens,
+            }
+            self._slot_req[i] = None
+
+    # ---- driving ---------------------------------------------------------
+
+    def step(self) -> int:
+        """Admit -> one decode chunk -> harvest.  Returns #results ready."""
+        self._admit_pending()
+        if any(r is not None for r in self._slot_req):
+            self.state = _decode_chunk(self.model, self.variables, self.state,
+                                       self.gen_cfg, self.vocab,
+                                       self.chunk_steps)
+        self._harvest()
+        return len(self._results)
+
+    def run(self) -> Dict[int, Dict[str, Any]]:
+        """Drain the queue; returns {request_id: result}."""
+        while self._pending or any(r is not None for r in self._slot_req):
+            self.step()
+        out, self._results = self._results, {}
+        return out

@@ -127,7 +127,10 @@ class LlamaBlock(nn.Module):
           layer_cache: (k, v) [batch, max_len, kv_heads, head_dim] or None.
           cos/sin: rope tables [batch, seq, head_dim].
           kv_valid: [batch, kv_len] bool or None.
-          cache_index: scalar write offset into the cache (0 for no-cache).
+          cache_index: scalar write offset into the cache (0 for no-cache),
+            or a [batch] int32 vector for per-row offsets — the continuous
+            batching decode path, where every slot sits at its own depth
+            (requires seq == 1; the batched-scatter write).
         """
         cfg = self.cfg
         b, s, _ = x.shape
@@ -155,18 +158,26 @@ class LlamaBlock(nn.Module):
         new_cache = None
         if layer_cache is not None:
             nh, hd = cfg.num_kv_heads, cfg.head_dim
+            per_row = getattr(cache_index, "ndim", 0) == 1
+            if per_row and s != 1:
+                raise ValueError("per-row cache_index requires seq == 1")
             at = (0, cache_index, 0)
+
+            def _store(buf, val):
+                """Write val [b, s, f] at the cache offset(s)."""
+                if per_row:
+                    return buf.at[jnp.arange(b), cache_index].set(val[:, 0])
+                return jax.lax.dynamic_update_slice(buf, val, at)
+
             if len(layer_cache) == 4:      # int8 cache + per-entry scales
                 ck, cv, ks, vs = layer_cache
                 max_len = ck.shape[1]
                 kq, ksc = quantize_kv(k)
                 vq, vsc = quantize_kv(v)
-                ck = jax.lax.dynamic_update_slice(ck, kq.reshape(b, s, -1), at)
-                cv = jax.lax.dynamic_update_slice(cv, vq.reshape(b, s, -1), at)
-                ks = jax.lax.dynamic_update_slice(
-                    ks, ksc.astype(ks.dtype).reshape(b, s, -1), at)
-                vs = jax.lax.dynamic_update_slice(
-                    vs, vsc.astype(vs.dtype).reshape(b, s, -1), at)
+                ck = _store(ck, kq.reshape(b, s, -1))
+                cv = _store(cv, vq.reshape(b, s, -1))
+                ks = _store(ks, ksc.astype(ks.dtype).reshape(b, s, -1))
+                vs = _store(vs, vsc.astype(vs.dtype).reshape(b, s, -1))
                 new_cache = (ck, cv, ks, vs)
                 # dequant fuses into the attention consumer: HBM reads stay
                 # int8, the MXU sees bf16.
@@ -177,10 +188,8 @@ class LlamaBlock(nn.Module):
             else:
                 ck, cv = layer_cache
                 max_len = ck.shape[1]
-                ck = jax.lax.dynamic_update_slice(
-                    ck, k.astype(ck.dtype).reshape(b, s, -1), at)
-                cv = jax.lax.dynamic_update_slice(
-                    cv, v.astype(cv.dtype).reshape(b, s, -1), at)
+                ck = _store(ck, k.astype(ck.dtype).reshape(b, s, -1))
+                cv = _store(cv, v.astype(cv.dtype).reshape(b, s, -1))
                 new_cache = (ck, cv)
                 ck = ck.reshape(b, max_len, nh, hd)
                 cv = cv.reshape(b, max_len, nh, hd)
