@@ -189,7 +189,8 @@ class ContinuousEngine:
             "pos": jnp.zeros((slots,), jnp.int32),
             "length": jnp.zeros((slots,), jnp.int32),
             "n": jnp.zeros((slots,), jnp.int32),
-            "prev_logits": jnp.zeros((slots, cfg.vocab_size), jnp.float32),
+            "prev_logits": jnp.zeros((slots, cfg.padded_vocab_size),
+                                     jnp.float32),
             "prev_hidden": jnp.zeros((slots, cfg.hidden_size), cfg.dtype),
             "prev_token": jnp.full((slots,), self.gen_cfg.pad_token_id,
                                    jnp.int32),

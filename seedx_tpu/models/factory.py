@@ -194,7 +194,8 @@ def build_agent(
         if pretrained_llm_path:
             sd = load_torch_checkpoint(pretrained_llm_path)
             llm_params = convert_llama_hf(sd, num_layers=llm.num_layers,
-                                          vocab_size=llm.vocab_size)
+                                          vocab_size=llm.vocab_size,
+                                          pad_to=llm.padded_vocab_size)
             params = _merge_loaded(params, {"llm": llm_params}, "llm")
         if pretrained_agent_path:
             sd = load_torch_checkpoint(pretrained_agent_path)
@@ -204,7 +205,8 @@ def build_agent(
             if llm_sd:
                 llm_params = convert_llama_hf(llm_sd,
                                               num_layers=llm.num_layers,
-                                              vocab_size=llm.vocab_size)
+                                              vocab_size=llm.vocab_size,
+                                              pad_to=llm.padded_vocab_size)
                 params = _merge_loaded(params, {"llm": llm_params},
                                        "agent-llm")
     else:

@@ -59,12 +59,22 @@ class LlamaConfig:
     attention_impl: str = "auto"
     remat: bool = True
     scan_layers: bool = True
+    # Pad the embedding table + lm_head rows up to this size (0 = exact).
+    # 32330 = 2*5*53*61 caps the `tensor` mesh axis at 2 (or 5); padding to
+    # e.g. 32336 = 8*4042 unlocks 8-way tensor parallelism for the vocab-
+    # sharded embedding/head.  Pad rows are zero-init and their logits are
+    # masked to -1e9, so outputs are identical to the unpadded model.
+    vocab_pad_to: int = 0
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    @property
+    def padded_vocab_size(self) -> int:
+        return max(self.vocab_size, self.vocab_pad_to)
 
 
 def llama2_13b(**overrides) -> LlamaConfig:
@@ -239,24 +249,25 @@ class Embedder(nn.Module):
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        v = cfg.padded_vocab_size
         if cfg.quantization in ("int8_full", "int4"):
             table_q = self.param(
                 "embedding_q",
                 nn.with_logical_partitioning(nn.initializers.zeros_init(),
                                              ("vocab", "embed")),
-                (cfg.vocab_size, cfg.hidden_size), jnp.int8)
+                (v, cfg.hidden_size), jnp.int8)
             scale = self.param(
                 "embedding_scale",
                 nn.with_logical_partitioning(nn.initializers.ones_init(),
                                              ("vocab",)),
-                (cfg.vocab_size,), jnp.float32)
+                (v,), jnp.float32)
             rows = jnp.take(table_q, input_ids, axis=0).astype(cfg.dtype)
             return rows * jnp.take(scale, input_ids,
                                    axis=0)[..., None].astype(cfg.dtype)
         table = self.param(
             "embedding",
             nn.with_logical_partitioning(default_init, ("vocab", "embed")),
-            (cfg.vocab_size, cfg.hidden_size), cfg.param_dtype)
+            (v, cfg.hidden_size), cfg.param_dtype)
         return jnp.take(table, input_ids, axis=0).astype(cfg.dtype)
 
 
@@ -319,7 +330,8 @@ class LlamaForCausalLM(nn.Module):
         self.model = LlamaModel(self.cfg)
         # LoRADense(rank=0) == PDense + the int8 path (param names identical).
         self.lm_head = LoRADense(
-            self.cfg.vocab_size, kernel_axes=("embed", "vocab"), use_bias=False,
+            self.cfg.padded_vocab_size, kernel_axes=("embed", "vocab"),
+            use_bias=False,
             quantize="int8" if self.cfg.quantization in ("int8_full", "int4")
             else "none",
             dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype)
@@ -338,6 +350,12 @@ class LlamaForCausalLM(nn.Module):
             inputs_embeds, positions, kv_valid=kv_valid, cache=cache,
             cache_index=cache_index)
         logits = self.lm_head(hidden)
+        if self.cfg.padded_vocab_size != self.cfg.vocab_size:
+            # vocab-padded TP layout: pad columns can never win argmax or
+            # contribute to the softmax
+            logits = jnp.where(
+                jnp.arange(logits.shape[-1]) < self.cfg.vocab_size,
+                logits, jnp.asarray(-1e9, logits.dtype))
         return logits, hidden, new_cache
 
 

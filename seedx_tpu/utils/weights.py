@@ -171,11 +171,14 @@ def resize_vocab(embedding: np.ndarray, lm_head: np.ndarray,
 
 
 def convert_llama_hf(sd: StateDict, num_layers: int = 40,
-                     vocab_size: int = 32330) -> Dict:
+                     vocab_size: int = 32330, pad_to: int = 0) -> Dict:
     """HF LLaMA state dict -> LlamaForCausalLM params (stacked scan layout).
 
     Keys may carry HF ("model.layers.N...") or PEFT-wrapped
     ("base_model.model.model.layers.N...") prefixes; both are normalised.
+    ``pad_to``: zero-pad the embedding/lm_head vocab rows up to this size
+    (the TP-divisibility padding, LlamaConfig.vocab_pad_to — pad logits are
+    masked in the model, so values are inert).
     """
     norm = {}
     for k, v in sd.items():
@@ -192,6 +195,13 @@ def convert_llama_hf(sd: StateDict, num_layers: int = 40,
     lm_head = _np(sd["lm_head.weight"])
     if embedding.shape[0] != vocab_size:
         embedding, lm_head = resize_vocab(embedding, lm_head, vocab_size)
+    if pad_to > vocab_size:
+        pad = pad_to - vocab_size
+        embedding = np.concatenate(
+            [embedding, np.zeros((pad, embedding.shape[1]),
+                                 embedding.dtype)])
+        lm_head = np.concatenate(
+            [lm_head, np.zeros((pad, lm_head.shape[1]), lm_head.dtype)])
 
     def stack_linear(pattern):
         return np.stack([_np(sd[pattern.format(i)]).T

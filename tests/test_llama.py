@@ -122,3 +122,48 @@ def test_sequence_classification_head():
     out2 = model.apply(variables, ids2, mask)
     np.testing.assert_allclose(np.asarray(out[1], np.float32),
                                np.asarray(out2[1], np.float32), atol=1e-5)
+
+
+def test_vocab_padding_is_inert():
+    """vocab_pad_to (TP-divisibility padding): padded model == unpadded
+    model on the real vocab columns; pad columns are masked to -1e9."""
+    import dataclasses
+
+    from flax import traverse_util
+
+    kw = dict(hidden_size=128, intermediate_size=256, num_layers=2,
+              num_heads=4, num_kv_heads=4)
+    cfg_pad = llama_debug(vocab_pad_to=32336, **kw)
+    assert cfg_pad.padded_vocab_size == 32336
+    model_pad = LlamaForCausalLM(cfg_pad)
+    B, S = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(1), (B, S), 0,
+                             cfg_pad.vocab_size)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    vars_pad = model_pad.init(jax.random.PRNGKey(0), ids, positions,
+                              method="init_all")
+
+    # slice the padded params down to the exact-vocab model
+    from flax import linen as nn
+
+    vars_pad = {"params": nn.meta.unbox(vars_pad["params"])}
+    flat = traverse_util.flatten_dict(vars_pad["params"], sep="/")
+    v = cfg_pad.vocab_size
+    flat["embed_tokens/embedding"] = flat["embed_tokens/embedding"][:v]
+    flat["lm_head/kernel"] = flat["lm_head/kernel"][:, :v]
+    vars_exact = {"params": traverse_util.unflatten_dict(flat, sep="/")}
+    model_exact = LlamaForCausalLM(llama_debug(**kw))
+
+    emb_pad = model_pad.apply(vars_pad, ids, method="embed")
+    emb_exact = model_exact.apply(vars_exact, ids, method="embed")
+    np.testing.assert_array_equal(np.asarray(emb_pad), np.asarray(emb_exact))
+
+    lg_pad, hid_pad, _ = model_pad.apply(vars_pad, emb_pad, positions)
+    lg_exact, hid_exact, _ = model_exact.apply(vars_exact, emb_exact,
+                                               positions)
+    assert lg_pad.shape[-1] == 32336
+    np.testing.assert_array_equal(np.asarray(lg_pad[..., :v], np.float32),
+                                  np.asarray(lg_exact, np.float32))
+    assert float(jnp.max(lg_pad[..., v:])) <= -1e8   # masked
+    np.testing.assert_array_equal(
+        np.asarray(jnp.argmax(lg_pad, -1)), np.asarray(jnp.argmax(lg_exact, -1)))

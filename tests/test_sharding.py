@@ -193,3 +193,36 @@ def test_sharded_sdxl_denoise_matches_single():
 
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-2)
+
+
+def test_tensor8_llm_with_padded_vocab():
+    """vocab_pad_to=32336 unlocks tensor=8 for the vocab-sharded embedding
+    and lm_head (32330 itself is only divisible by 2 and 5); logits must
+    match the unsharded padded model."""
+    from seedx_tpu.models.llama import LlamaForCausalLM, llama_debug
+
+    cfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                      num_heads=8, num_kv_heads=8, vocab_pad_to=32336)
+    model = LlamaForCausalLM(cfg)
+    B, S = 2, 12
+    ids = jax.random.randint(jax.random.PRNGKey(2), (B, S), 0,
+                             cfg.vocab_size)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    variables = model.init(jax.random.PRNGKey(0), ids, positions,
+                           method="init_all")
+
+    def fwd(p):
+        emb = model.apply({"params": p}, ids, method="embed")
+        logits, _, _ = model.apply({"params": p}, emb, positions)
+        return logits
+
+    ref = fwd(unbox(variables["params"]))
+
+    mesh = create_mesh(data=1, fsdp=1, tensor=8)
+    params = shard_pytree(variables["params"], mesh)
+    emb_table = params["embed_tokens"]["embedding"]
+    assert emb_table.sharding.spec == PartitionSpec("tensor", "fsdp")
+    with mesh:
+        out = jax.jit(fwd)(params)
+    np.testing.assert_allclose(np.asarray(ref, np.float32),
+                               np.asarray(out, np.float32), atol=2e-2)
