@@ -15,6 +15,11 @@
       multi-turn interleaved REPL (no reference script; format of
       src/data/sft_clm.py).  Each stdin line is one user turn; prefix
       "img:PATH<space>" attaches an image; "exit" quits.
+  python -m seedx_tpu.inference.eval_cli serve --requests reqs.jsonl
+      batch server driver: JSONL in ({kind: comprehend|t2i|edit|raw, ...},
+      optional per-request max_new_tokens), JSONL results out.
+      --engine batched (bucket micro-batching) | continuous (slot pool,
+      rolling admission).
 
 ``--debug`` (or env SEEDX_DEBUG=1) runs the tiny random stack so every flow
 executes without the released 17B weights (the reference DEBUG_FLAG analogue).
@@ -55,7 +60,16 @@ def _load_runtime(args):
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("command", choices=["img2text", "ground", "text2img",
-                                       "edit", "detokenize", "chat"])
+                                       "edit", "detokenize", "chat", "serve"])
+    p.add_argument("--requests",
+                   help="serve: JSONL file of requests (default stdin); "
+                        "each line {kind: comprehend|t2i|edit|raw, ...}")
+    p.add_argument("--engine", default="batched",
+                   choices=["batched", "continuous"],
+                   help="serve: bucket-batched ServingEngine or "
+                        "slot-pool ContinuousEngine")
+    p.add_argument("--max_batch_size", type=int, default=8)
+    p.add_argument("--slots", type=int, default=8)
     p.add_argument("--image")
     p.add_argument("--condition")
     p.add_argument("--question", default="What is in this image?")
@@ -128,6 +142,83 @@ def main(argv=None):
                 n_img += len(out["images"])
                 print("saved:", _save_images(out["images"], args.out_dir,
                                              f"chat_{n_img}"))
+    elif args.command == "serve":
+        import json
+
+        lines = (open(args.requests) if args.requests else sys.stdin)
+        reqs = [json.loads(ln) for ln in lines if ln.strip()]
+
+        def emit(i, res):
+            paths = None
+            if res.get("images") is not None:
+                paths = _save_images(res["images"], args.out_dir,
+                                     f"serve_{i}")
+            print(json.dumps({
+                "id": i, "text": res.get("clean_text", res.get("text", "")),
+                "num_gen_imgs": int(res.get("num_gen_imgs", 0)),
+                "images": paths}))
+
+        if args.engine == "batched":
+            from seedx_tpu.inference.serving import ServingEngine
+
+            eng = ServingEngine(rt, max_batch_size=args.max_batch_size,
+                                max_new_tokens=args.max_new_tokens,
+                                num_inference_steps=args.num_inference_steps,
+                                seed=args.seed)
+            for r in reqs:
+                kind = r.get("kind", "raw")
+                if kind == "comprehend":
+                    eng.submit_comprehend(
+                        Image.open(r["image"]).convert("RGB"), r["question"])
+                elif kind == "t2i":
+                    eng.submit_text_to_image(r["caption"])
+                elif kind == "edit":
+                    eng.submit_edit(Image.open(r["image"]).convert("RGB"),
+                                    r["instruction"])
+                else:
+                    ids = r.get("input_ids") or (
+                        [rt.tokenizer.bos_token_id]
+                        + rt.tokenizer.encode(r["text"]))
+                    eng.submit_raw({"input_ids": ids})
+            for i, res in enumerate(eng.flush()):
+                emit(i, res)
+        else:
+            from seedx_tpu.inference.apps import _prepare_image_prompt
+            from seedx_tpu.inference.continuous import ContinuousEngine
+            from seedx_tpu.text import prompts as P
+
+            eng = ContinuousEngine(rt, slots=args.slots,
+                                   max_new_tokens=args.max_new_tokens)
+            order = []
+            for r in reqs:
+                kind = r.get("kind", "raw")
+                if kind == "comprehend":
+                    ids, cm, emb, ecm, pp = _prepare_image_prompt(
+                        rt, Image.open(r["image"]).convert("RGB"),
+                        r["question"])
+                    req = {"input_ids": ids, "image_embeds": emb,
+                           "embeds_cmp_mask": ecm, "ids_cmp_mask": cm,
+                           "patch_positions": pp}
+                elif kind == "t2i":
+                    text = P.generation_prompt(r["caption"])
+                    req = {"input_ids": [rt.tokenizer.bos_token_id]
+                           + rt.tokenizer.encode(text)}
+                else:
+                    req = {"input_ids": r.get("input_ids") or (
+                        [rt.tokenizer.bos_token_id]
+                        + rt.tokenizer.encode(r["text"]))}
+                order.append(eng.submit(
+                    req, max_new_tokens=r.get("max_new_tokens")))
+            results = eng.run()
+            for i, rid in enumerate(order):
+                res = results[rid]
+                if (res["has_img_output"] and rt.adapter is not None
+                        and res["img_gen_feat"] is not None):
+                    res["images"] = rt.adapter.generate(
+                        res["img_gen_feat"], seed=args.seed,
+                        num_inference_steps=args.num_inference_steps)
+                res["clean_text"] = P.strip_markup(res["text"])
+                emit(i, res)
     elif args.command == "detokenize":
         if args.condition:
             cond = Image.open(args.condition).convert("RGB")

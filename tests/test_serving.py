@@ -119,3 +119,35 @@ def test_chunked_image_span_matches_batched_serial():
                             gen_cfg=gen_cfg)
     for row in double:
         assert np.array_equal(single["tokens"], row["tokens"])
+
+
+def test_serve_cli_both_engines(tmp_path, monkeypatch, capsys):
+    """`eval_cli serve`: JSONL requests in, JSONL results out, for both the
+    bucket-batched and the continuous engine."""
+    import json
+
+    from seedx_tpu.inference import eval_cli
+
+    shared = SeedXRuntime.debug(with_adapter=True)
+    monkeypatch.setattr(eval_cli, "_load_runtime", lambda a: shared)
+    reqs = [{"kind": "raw", "text": "hello"},
+            {"kind": "t2i", "caption": "a cat"}]
+    f = tmp_path / "reqs.jsonl"
+    f.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
+
+    per_engine = {}
+    for engine in ("batched", "continuous"):
+        rc = eval_cli.main(["serve", "--requests", str(f),
+                            "--engine", engine, "--debug",
+                            "--max_new_tokens", "6",
+                            "--num_inference_steps", "2",
+                            "--out_dir", str(tmp_path / "vis")])
+        assert rc == 0
+        rows = [json.loads(l)
+                for l in capsys.readouterr().out.strip().splitlines()]
+        assert [r["id"] for r in rows] == [0, 1]
+        per_engine[engine] = rows
+    # both engines produce identical results for identical requests
+    for a, b in zip(per_engine["batched"], per_engine["continuous"]):
+        assert a["text"] == b["text"]
+        assert a["num_gen_imgs"] == b["num_gen_imgs"]
