@@ -22,7 +22,9 @@ static shapes:
 
 Constrained image-token decoding (``constrain_image_tokens``) applies
 per-row, so image spans interleave freely with text across slots.  Greedy
-decoding only (the reference's inference default, seed_x.py:180).
+decoding by default (the reference's inference default, seed_x.py:180);
+``do_sample`` enables temperature/top-p sampling — forced image spans stay
+exact because forced ids carry max+10 logits.
 """
 
 from __future__ import annotations
@@ -36,7 +38,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from seedx_tpu.models.agent import ContinuousLVLM
-from seedx_tpu.models.generation import (GenerationConfig, _trim_and_spans,
+from seedx_tpu.models.generation import (GenerationConfig, _sample,
+                                         _trim_and_spans,
                                          constrain_image_tokens)
 from seedx_tpu.models.llama import init_kv_cache
 from seedx_tpu.text.vocab import DEFAULT_VOCAB, MultimodalVocab
@@ -101,8 +104,13 @@ def _decode_chunk(model, variables, state, gen_cfg: GenerationConfig,
         running = state["running"]
         constrained = constrain_image_tokens(
             state["prev_token"], state["prev_logits"], vocab, n_img)
-        token = jnp.argmax(constrained, axis=-1).astype(jnp.int32)
+        rng, sub = jax.random.split(state["rng"])
+        # _sample: greedy or temperature/top-p per gen_cfg; one key samples
+        # independently per row.  Forced image-span ids carry max+10 logits,
+        # so sampling cannot derail a span (reference: generation.py:26).
+        token = _sample(constrained, sub, gen_cfg).astype(jnp.int32)
         token = jnp.where(running, token, gen_cfg.pad_token_id)
+        state = dict(state, rng=rng)
 
         # collect (read-modify-write so frozen rows keep their cells)
         n_w = jnp.minimum(state["n"], t - 1)
@@ -162,7 +170,9 @@ class ContinuousEngine:
 
     def __init__(self, rt, slots: int = 8, max_new_tokens: int = 256,
                  chunk_steps: int = 16,
-                 prompt_buckets=(128, 256, 512, 1024)):
+                 prompt_buckets=(128, 256, 512, 1024),
+                 do_sample: bool = False, temperature: float = 0.7,
+                 top_p: float = 0.5, seed: int = 0):
         self.rt = rt
         self.model: ContinuousLVLM = rt.agent
         self.variables = {"params": rt.agent_params}
@@ -172,7 +182,8 @@ class ContinuousEngine:
             num_img_gen_tokens=rt.agent_cfg.num_img_out_tokens,
             eos_token_id=rt.tokenizer.eos_token_id,
             pad_token_id=rt.tokenizer.pad_token_id,
-            prompt_buckets=tuple(prompt_buckets))
+            prompt_buckets=tuple(prompt_buckets),
+            do_sample=do_sample, temperature=temperature, top_p=top_p)
         self.slots = slots
         self.chunk_steps = chunk_steps
         self._pending: List[tuple] = []     # (req_id, request)
@@ -196,6 +207,7 @@ class ContinuousEngine:
                                    jnp.int32),
             "running": jnp.zeros((slots,), bool),
             "budget": jnp.full((slots,), t, jnp.int32),
+            "rng": jax.random.PRNGKey(seed),
             "out_tokens": jnp.zeros((slots, t), jnp.int32),
             "out_hidden": jnp.zeros((slots, t, cfg.hidden_size), cfg.dtype),
         }

@@ -73,11 +73,16 @@ def constrain_image_tokens(prev_token: jnp.ndarray, logits: jnp.ndarray,
     zero_ids = ((ids >= img0) & (ids < img0 + n)) | (ids == vocab.eoi)
     unforced_logits = jnp.where(zero_ids[None, :], 0.0, logits)
 
-    # Forced: winner gets max + 10 (reference: generation.py:26).
+    # Forced: winner gets max + 10 AND every other id drops to -1e9.  The
+    # reference only adds +10 (generation.py:26), which is equivalent under
+    # its greedy decode — but under temperature sampling a +10 edge over a
+    # 32k near-uniform vocab can lose the draw and derail the span, so the
+    # forcing here is absolute.  Greedy behaviour is identical.
     win = jnp.max(logits, axis=-1, keepdims=True) + 10.0
     safe_forced = jnp.maximum(forced, 0)
     forced_logits = jnp.where(
-        jax.nn.one_hot(safe_forced, v, dtype=bool), win, logits)
+        jax.nn.one_hot(safe_forced, v, dtype=bool), win,
+        jnp.asarray(-1e9, logits.dtype))
 
     return jnp.where(is_forced[:, None], forced_logits, unforced_logits)
 

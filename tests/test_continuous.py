@@ -122,3 +122,28 @@ def test_continuous_mid_flight_submit(rt):
     results = eng.run()
     _assert_same(results[i0], ref0)
     _assert_same(results[i1], ref1)
+
+
+def test_continuous_sampling(rt):
+    """do_sample: different seeds diverge; the constrained image-span
+    forcing still produces the exact forced ids under sampling."""
+    vocab = rt.tokenizer.vocab
+    n_img = rt.agent_cfg.num_img_out_tokens
+    span_req = {"input_ids": [1, 5, 7, vocab.boi], "image_embeds": None,
+                "embeds_cmp_mask": None, "ids_cmp_mask": None,
+                "patch_positions": None}
+    text_req = _text_request(rt, "tell me something")
+
+    outs = []
+    for seed in (0, 1):
+        eng = ContinuousEngine(rt, slots=2, max_new_tokens=6, chunk_steps=3,
+                               prompt_buckets=(64,), do_sample=True,
+                               temperature=2.0, top_p=0.95, seed=seed)
+        i_span = eng.submit(dict(span_req))
+        i_text = eng.submit(dict(text_req))
+        res = eng.run()
+        # forced span: first 6 tokens are exactly img_0..img_5
+        want = list(range(vocab.img_token_start, vocab.img_token_start + 6))
+        assert list(res[i_span]["tokens"]) == want, n_img
+        outs.append(list(res[i_text]["tokens"]))
+    assert outs[0] != outs[1]          # sampling actually samples
