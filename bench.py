@@ -288,6 +288,67 @@ def bench_decode_turn(prompt_len: int = 512, text_steps: int = 9,
     return (time.perf_counter() - t0) / iters
 
 
+def bench_train_step(batch_size: int = 2, seq: int = 768, num_layers: int = 6,
+                     iters: int = 6):
+    """SFT training-step throughput (tokens/sec) on the full 13B layer
+    geometry at reduced depth (6/40 layers fit one 16G chip with grads +
+    remat): LoRA-r32 trainable subtree + frozen base, donated jitted step —
+    the reference trains the same shape with DeepSpeed ZeRO-3 on 8 GPUs
+    (scripts/train_seed_x_sft_comp_gen.sh).  Scale depth x chips on a pod:
+    per-chip step economics are what this measures."""
+    from flax import linen as nn
+
+    from seedx_tpu.models.agent import AgentConfig, ContinuousLVLM
+    from seedx_tpu.models.llama import llama2_13b
+    from seedx_tpu.train.trainer import (TrainConfig, create_train_state,
+                                         make_train_step)
+
+    llm_cfg = llama2_13b(num_layers=num_layers, lora_rank=32,
+                         param_dtype=jnp.bfloat16)
+    cfg = AgentConfig(llm=llm_cfg)
+    model = ContinuousLVLM(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    n_imgs = 2
+    ids = jax.random.randint(rng, (batch_size, seq), 0, 32000)
+    attn = jnp.ones((batch_size, seq), bool)
+    batch = dict(
+        input_ids=ids, attention_mask=attn,
+        labels=jnp.where(attn, ids, -100),
+        image_embeds=jax.random.normal(rng, (n_imgs, 256, cfg.vit_dim),
+                                       jnp.bfloat16),
+        embeds_gen_mask=jnp.array([False, True]),
+        embeds_cmp_mask=jnp.array([True, False]),
+        ids_gen_mask=jnp.zeros((batch_size, seq), bool
+                               ).at[batch_size - 1, 2:66].set(True),
+        ids_cmp_mask=jnp.zeros((batch_size, seq), bool
+                               ).at[0, 1:65].set(True),
+        patch_positions=jnp.full((n_imgs, 2), 0.5))
+
+    variables = jax.jit(lambda r: model.init(
+        r, batch["input_ids"], batch["attention_mask"], batch["labels"],
+        batch["image_embeds"], batch["embeds_gen_mask"],
+        batch["embeds_cmp_mask"], batch["ids_gen_mask"],
+        batch["ids_cmp_mask"], batch["patch_positions"],
+        method="init_all"))(rng)
+    params = nn.meta.unbox(variables["params"])
+
+    train_cfg = TrainConfig(max_steps=1000, warmup_steps=10)
+    state, frozen = create_train_state(params, train_cfg)
+    train_step = make_train_step(model, train_cfg)
+
+    state, metrics = train_step(state, frozen, batch, jax.random.PRNGKey(1))
+    float(metrics["total_loss"])          # compile + warm (host-closed)
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, metrics = train_step(state, frozen, batch,
+                                    jax.random.PRNGKey(2 + i))
+        float(metrics["total_loss"])      # host fetch closes every step
+    dt = time.perf_counter() - t0
+    return batch_size * seq * iters / dt
+
+
 def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
                            prompt_len: int = 120, max_new_tokens: int = 128,
                            num_layers: int = 40):
@@ -450,7 +511,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--metric", default="vit_encode",
                    choices=["vit_encode", "decode_13b", "sdxl_denoise",
-                            "e2e_turn", "serve_continuous"])
+                            "e2e_turn", "serve_continuous", "train_step"])
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--batch", type=int, default=1,
                    help="decode_13b batch size (batched serving engine "
@@ -475,6 +536,14 @@ def main():
                      "65-tok-img-chunk + sdxl30 + vae)"),
             "vs_baseline": None,
             "parts": {k: round(v, 2) for k, v in parts.items()},
+        }))
+    elif args.metric == "train_step":
+        value = _best_of(bench_train_step, args.repeats)
+        print(json.dumps({
+            "metric": "sft_train_step_13bgeom_6layer_lora",
+            "value": round(value, 2),
+            "unit": "tokens/sec/chip (bf16, remat, donated step)",
+            "vs_baseline": None,
         }))
     elif args.metric == "serve_continuous":
         value = _best_of(bench_serve_continuous, args.repeats)
