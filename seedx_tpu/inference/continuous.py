@@ -46,20 +46,21 @@ from seedx_tpu.text.vocab import DEFAULT_VOCAB, MultimodalVocab
 
 
 @functools.partial(jax.jit, static_argnames=("model", "bucket"))
-def _prefill(model, variables, embeds, p_len, bucket):
-    """Right-padded prompt -> (mini_cache [L, 1, bucket, ...], last_logits
-    [V] fp32, last_hidden [D]).  One compile per prompt bucket."""
+def _prefill(model, variables, embeds, p_lens, bucket):
+    """Right-padded prompts [b, bucket, D] -> (mini_cache [L, b, bucket, ...],
+    last_logits [b, V] fp32, last_hidden [b, D]).  ONE forward prefills every
+    admitted request of a bucket together; one compile per (b, bucket)."""
     cfg = model.cfg.llm
-    cache = init_kv_cache(cfg, 1, bucket)
-    positions = jnp.arange(bucket)[None, :]
-    kv_valid = (jnp.arange(bucket) < p_len)[None, :]
+    b = embeds.shape[0]
+    cache = init_kv_cache(cfg, b, bucket)
+    positions = jnp.broadcast_to(jnp.arange(bucket), (b, bucket))
+    kv_valid = jnp.arange(bucket)[None, :] < p_lens[:, None]
     logits, hidden, cache = model.apply(
         variables, embeds, positions, kv_valid, cache, 0, method="llm_step")
-    last = p_len - 1
-    return (cache,
-            jax.lax.dynamic_index_in_dim(logits[0], last, 0,
-                                         keepdims=False).astype(jnp.float32),
-            jax.lax.dynamic_index_in_dim(hidden[0], last, 0, keepdims=False))
+    last = (p_lens - 1)[:, None, None]
+    last_logits = jnp.take_along_axis(logits, last, axis=1)[:, 0]
+    last_hidden = jnp.take_along_axis(hidden, last, axis=1)[:, 0]
+    return cache, last_logits.astype(jnp.float32), last_hidden
 
 
 @functools.partial(jax.jit, donate_argnames=("state",))
@@ -229,40 +230,71 @@ class ContinuousEngine:
 
     # ---- internals -------------------------------------------------------
 
-    def _prepare_and_prefill(self, request):
-        ids = list(request["input_ids"])
-        p_len = len(ids)
-        bucket = next((x for x in self.gen_cfg.prompt_buckets if x >= p_len),
-                      p_len)
-        padded = np.full((1, bucket), self.gen_cfg.pad_token_id, np.int32)
-        padded[0, :p_len] = np.asarray(ids, np.int32)      # RIGHT-padded
-        cm = request.get("ids_cmp_mask")
-        cmp_padded = None
-        if cm is not None:
-            cmp_padded = np.zeros((1, bucket), bool)
-            cmp_padded[0, :p_len] = np.asarray(cm, bool)
+    def _prefill_group(self, requests, bucket):
+        """ONE batched prefill for every request of a prompt bucket; prompts
+        are RIGHT-padded (no left pad needed — every slot row starts its
+        cache at 0) and the batch dim pads to a power of two so the compiled
+        (batch, bucket) grid stays small."""
+        b = len(requests)
+        bb = 1
+        while bb < b:
+            bb *= 2
+        pad_id = self.gen_cfg.pad_token_id
+        ids_padded = np.full((bb, bucket), pad_id, np.int32)
+        cmp_padded = np.zeros((bb, bucket), bool)
+        p_lens = np.ones((bb,), np.int32)
+        any_cmp = False
+        img_parts, ecm_parts, pp_parts = [], [], []
+        for i, r in enumerate(requests):
+            ids = r["input_ids"]
+            p = len(ids)
+            ids_padded[i, :p] = np.asarray(ids, np.int32)
+            p_lens[i] = p
+            cm = r.get("ids_cmp_mask")
+            if cm is not None:
+                cmp_padded[i, :p] = np.asarray(cm, bool)
+                any_cmp = True
+            if r.get("image_embeds") is not None:
+                img_parts.append(r["image_embeds"])
+                ecm_parts.append(np.asarray(r["embeds_cmp_mask"], bool))
+                pp_parts.append(r.get("patch_positions"))
+        image_embeds = jnp.concatenate(img_parts) if img_parts else None
+        ecm = np.concatenate(ecm_parts) if ecm_parts else None
+        ppos = None
+        if img_parts and all(p is not None for p in pp_parts):
+            ppos = jnp.concatenate([jnp.asarray(p) for p in pp_parts])
         embeds = self.model.apply(
-            self.variables, jnp.asarray(padded),
-            request.get("image_embeds"),
-            jnp.asarray(cmp_padded) if cmp_padded is not None else None,
-            (jnp.asarray(request["embeds_cmp_mask"])
-             if request.get("embeds_cmp_mask") is not None else None),
-            request.get("patch_positions"),
-            method="embed_with_images")
-        mini, last_logits, last_hidden = _prefill(
-            self.model, self.variables, embeds, jnp.int32(p_len), bucket)
-        return mini, last_logits, last_hidden, jnp.int32(ids[-1]), p_len
+            self.variables, jnp.asarray(ids_padded),
+            image_embeds,
+            jnp.asarray(cmp_padded) if any_cmp else None,
+            jnp.asarray(ecm) if ecm is not None else None,
+            ppos, method="embed_with_images")
+        return _prefill(self.model, self.variables, embeds,
+                        jnp.asarray(p_lens), bucket)
 
     def _admit_pending(self):
         free = [i for i, r in enumerate(self._slot_req) if r is None]
-        while free and self._pending:
-            row = free.pop(0)
-            rid, request, budget = self._pending.pop(0)
-            mini, lg, lh, last_tok, _ = self._prepare_and_prefill(request)
-            self.state = _admit(self.state, jnp.int32(row), mini,
-                                jnp.int32(len(request["input_ids"])), lg, lh,
-                                last_tok, jnp.int32(budget))
-            self._slot_req[row] = rid
+        if not free or not self._pending:
+            return
+        take, self._pending = (self._pending[:len(free)],
+                               self._pending[len(free):])
+        by_bucket: Dict[int, list] = {}
+        for item in take:
+            p_len = len(item[1]["input_ids"])
+            bucket = next((x for x in self.gen_cfg.prompt_buckets
+                           if x >= p_len), p_len)
+            by_bucket.setdefault(bucket, []).append(item)
+        for bucket, items in by_bucket.items():
+            minis, lgs, lhs = self._prefill_group([r for _, r, _ in items],
+                                                  bucket)
+            for j, (rid, request, budget) in enumerate(items):
+                row = free.pop(0)
+                mini = jax.tree.map(lambda c: c[:, j:j + 1], minis)
+                self.state = _admit(
+                    self.state, jnp.int32(row), mini,
+                    jnp.int32(len(request["input_ids"])), lgs[j], lhs[j],
+                    jnp.int32(request["input_ids"][-1]), jnp.int32(budget))
+                self._slot_req[row] = rid
 
     def _harvest(self):
         running = np.asarray(self.state["running"])
