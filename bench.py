@@ -425,6 +425,7 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
         eng = ContinuousEngine(rt, slots=slots,
                                max_new_tokens=max_new_tokens,
                                chunk_steps=32, prompt_buckets=(256,))
+        eng.warmup()          # precompile the (admission-batch, bucket) grid
         for req, budget in make_requests(n):
             eng.submit(req, max_new_tokens=budget)
         results = eng.run()

@@ -64,11 +64,15 @@ def _prefill(model, variables, embeds, p_lens, bucket):
 
 
 @functools.partial(jax.jit, donate_argnames=("state",))
-def _admit(state, row, mini_cache, p_len, last_logits, last_hidden,
+def _admit(state, row, mini_cache, src_row, p_len, last_logits, last_hidden,
            last_token, budget):
-    """Splice a prefilled request into slot ``row``; O(bucket) cache copy."""
-    def splice(big, mini):
-        # mini [L, 1, bucket, ...] -> big [L, B, S, ...] at (0, row, 0, ...)
+    """Splice row ``src_row`` of a (possibly batched) prefill mini-cache into
+    slot ``row``; O(bucket) cache copy.  The slice happens inside this jit so
+    admission compiles once per (admission-batch, bucket), not once per
+    slice index."""
+    def splice(big, minis):
+        # minis [L, bb, bucket, ...] -> big [L, B, S, ...] at (0, row, 0, ..)
+        mini = jax.lax.dynamic_slice_in_dim(minis, src_row, 1, axis=1)
         idx = (0, row) + (0,) * (big.ndim - 2)
         return jax.lax.dynamic_update_slice(big, mini.astype(big.dtype), idx)
 
@@ -78,8 +82,8 @@ def _admit(state, row, mini_cache, p_len, last_logits, last_hidden,
     state["pos"] = upd(state["pos"], p_len)
     state["length"] = upd(state["length"], p_len)
     state["n"] = upd(state["n"], jnp.int32(0))
-    state["prev_logits"] = upd(state["prev_logits"], last_logits)
-    state["prev_hidden"] = upd(state["prev_hidden"], last_hidden)
+    state["prev_logits"] = upd(state["prev_logits"], last_logits[src_row])
+    state["prev_hidden"] = upd(state["prev_hidden"], last_hidden[src_row])
     state["prev_token"] = upd(state["prev_token"], last_token)
     state["running"] = upd(state["running"], True)
     state["budget"] = upd(state["budget"], budget)
@@ -213,6 +217,33 @@ class ContinuousEngine:
             "out_hidden": jnp.zeros((slots, t, cfg.hidden_size), cfg.dtype),
         }
 
+    def warmup(self, buckets=None):
+        """Precompile the admission grid: one batched prefill AND one admit
+        per (power-of-two admission batch ≤ slots) x (prompt bucket).
+        Without this, a live server pays a full XLA compile the first time
+        some number of slots frees together.  Text-only shapes; image-
+        carrying prompts add their own embed_with_images variants on first
+        use.  Call before submitting (warm admits scribble on a FREE slot's
+        inert rows and clear the running flag after)."""
+        buckets = tuple(buckets) if buckets is not None \
+            else self.gen_cfg.prompt_buckets
+        dummy = {"input_ids": [1, 2]}
+        free = next((i for i, r in enumerate(self._slot_req) if r is None),
+                    None)
+        bb = 1
+        while bb <= self.slots:
+            for bucket in buckets:
+                minis, lgs, lhs = self._prefill_group([dummy] * bb, bucket)
+                if free is not None:
+                    self.state = _admit(
+                        self.state, jnp.int32(free), minis, jnp.int32(0),
+                        jnp.int32(2), lgs, lhs, jnp.int32(2), jnp.int32(0))
+                    self.state = dict(
+                        self.state,
+                        running=self.state["running"].at[free].set(False))
+            bb *= 2
+        return self
+
     # ---- submission ------------------------------------------------------
 
     def submit(self, request: Dict[str, Any],
@@ -289,10 +320,9 @@ class ContinuousEngine:
                                                   bucket)
             for j, (rid, request, budget) in enumerate(items):
                 row = free.pop(0)
-                mini = jax.tree.map(lambda c: c[:, j:j + 1], minis)
                 self.state = _admit(
-                    self.state, jnp.int32(row), mini,
-                    jnp.int32(len(request["input_ids"])), lgs[j], lhs[j],
+                    self.state, jnp.int32(row), minis, jnp.int32(j),
+                    jnp.int32(len(request["input_ids"])), lgs, lhs,
                     jnp.int32(request["input_ids"][-1]), jnp.int32(budget))
                 self._slot_req[row] = rid
 
