@@ -190,15 +190,19 @@ def main(argv=None):
             eng = ContinuousEngine(rt, slots=args.slots,
                                    max_new_tokens=args.max_new_tokens)
             order = []
-            for r in reqs:
+            edit_sources = {}
+            for i, r in enumerate(reqs):
                 kind = r.get("kind", "raw")
-                if kind == "comprehend":
+                if kind in ("comprehend", "edit"):
+                    src = Image.open(r["image"]).convert("RGB")
                     ids, cm, emb, ecm, pp = _prepare_image_prompt(
-                        rt, Image.open(r["image"]).convert("RGB"),
-                        r["question"])
+                        rt, src, r["question" if kind == "comprehend"
+                                   else "instruction"])
                     req = {"input_ids": ids, "image_embeds": emb,
                            "embeds_cmp_mask": ecm, "ids_cmp_mask": cm,
                            "patch_positions": pp}
+                    if kind == "edit":
+                        edit_sources[i] = src
                 elif kind == "t2i":
                     text = P.generation_prompt(r["caption"])
                     req = {"input_ids": [rt.tokenizer.bos_token_id]
@@ -214,8 +218,19 @@ def main(argv=None):
                 res = results[rid]
                 if (res["has_img_output"] and rt.adapter is not None
                         and res["img_gen_feat"] is not None):
+                    latent_image = None
+                    if i in edit_sources:          # edit: condition latents
+                        import jax.numpy as jnp
+
+                        from seedx_tpu.data.transforms import get_transform
+
+                        tf = get_transform(
+                            "sd", keep_ratio=False,
+                            image_size=rt.adapter.cfg.sampler.height)
+                        latent_image = jnp.asarray(tf(edit_sources[i]))[None]
                     res["images"] = rt.adapter.generate(
-                        res["img_gen_feat"], seed=args.seed,
+                        res["img_gen_feat"], latent_image=latent_image,
+                        seed=args.seed,
                         num_inference_steps=args.num_inference_steps)
                 res["clean_text"] = P.strip_markup(res["text"])
                 emit(i, res)

@@ -130,8 +130,13 @@ def test_serve_cli_both_engines(tmp_path, monkeypatch, capsys):
 
     shared = SeedXRuntime.debug(with_adapter=True)
     monkeypatch.setattr(eval_cli, "_load_runtime", lambda a: shared)
+    img_path = tmp_path / "src.png"
+    Image.fromarray(np.random.RandomState(2).randint(
+        0, 255, (60, 48, 3), np.uint8)).save(img_path)
     reqs = [{"kind": "raw", "text": "hello"},
-            {"kind": "t2i", "caption": "a cat"}]
+            {"kind": "t2i", "caption": "a cat"},
+            {"kind": "edit", "image": str(img_path),
+             "instruction": "make it blue"}]
     f = tmp_path / "reqs.jsonl"
     f.write_text("\n".join(json.dumps(r) for r in reqs) + "\n")
 
@@ -145,7 +150,7 @@ def test_serve_cli_both_engines(tmp_path, monkeypatch, capsys):
         assert rc == 0
         rows = [json.loads(l)
                 for l in capsys.readouterr().out.strip().splitlines()]
-        assert [r["id"] for r in rows] == [0, 1]
+        assert [r["id"] for r in rows] == [0, 1, 2]
         per_engine[engine] = rows
     # both engines produce identical results for identical requests
     for a, b in zip(per_engine["batched"], per_engine["continuous"]):
