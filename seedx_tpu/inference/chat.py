@@ -31,14 +31,29 @@ class Turn:
 
 
 class ChatSession:
-    """Stateful multi-turn conversation over a SeedXRuntime."""
+    """Stateful multi-turn conversation over a SeedXRuntime.
 
-    def __init__(self, rt: SeedXRuntime, system_message: str = ""):
+    With ``prefix_cache=True`` (default) the session keeps ONE KV cache at
+    absolute token positions across turns: each ``send`` re-serializes the
+    history, finds the longest common token prefix with what the cache
+    already holds (last turn's prompt + its generated tokens), and prefills
+    only the new suffix — the reference (and ``generate_tokens``)
+    re-prefill the entire history every turn.  Falls back to a full
+    prefill whenever the serialization diverges (or an image span would be
+    split at the boundary), so replies are token-identical either way."""
+
+    def __init__(self, rt: SeedXRuntime, system_message: str = "",
+                 prefix_cache: bool = True, cache_capacity: int = 2048):
         self.rt = rt
         self.system_message = system_message
         self.turns: List[Turn] = []
         self._image_embeds: List[jnp.ndarray] = []   # per-image [n_tiles,T,D]
         self._patch_positions: List[jnp.ndarray] = []
+        self.prefix_cache = prefix_cache
+        self.cache_capacity = cache_capacity
+        self._cache = None
+        self._cached_ids: List[int] = []   # ids whose KV fills cache[0:len)
+        self.last_reused = 0               # LCP length of the last send
 
     # ------------------------------------------------------------------
 
@@ -93,6 +108,88 @@ class ChatSession:
 
     # ------------------------------------------------------------------
 
+    def _generate_cached(self, input_ids, cmp_mask, image_embeds, ppos,
+                         max_new_tokens: int):
+        """Delta-prefill generation against the session KV cache."""
+        from seedx_tpu.models.generation import (GenerationConfig,
+                                                 _trim_and_spans,
+                                                 generate_tokens_cached)
+        from seedx_tpu.models.llama import init_kv_cache
+
+        rt = self.rt
+        vocab = rt.tokenizer.vocab
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens,
+            num_img_gen_tokens=rt.agent_cfg.num_img_out_tokens,
+            eos_token_id=rt.tokenizer.eos_token_id,
+            pad_token_id=rt.tokenizer.pad_token_id)
+        need = len(input_ids) + max_new_tokens
+        if self._cache is None or self._cache[0].shape[2] < need:
+            cap = (max(self.cache_capacity, need) + 127) // 128 * 128
+            self._cache = init_kv_cache(rt.agent_cfg.llm, 1, cap)
+            self._cached_ids = []
+
+        full_mask = (np.asarray(cmp_mask, bool) if cmp_mask is not None
+                     else np.zeros((len(input_ids),), bool))
+        n_in = rt.agent_cfg.num_img_in_tokens
+        lcp = 0
+        for a, b in zip(self._cached_ids, input_ids):
+            if a != b:
+                break
+            lcp += 1
+        lcp = min(lcp, len(input_ids) - 1)   # always prefill ≥ 1 token
+        if int(full_mask[:lcp].sum()) % n_in:
+            lcp = 0                          # never split an image span
+        self.last_reused = lcp
+
+        delta = input_ids[lcp:]
+        delta_mask = full_mask[lcp:]
+        prefix_spans = int(full_mask[:lcp].sum()) // n_in
+        img_delta = ecm = ppos_delta = None
+        if image_embeds is not None and int(delta_mask.sum()):
+            img_delta = image_embeds[prefix_spans:]
+            ecm = np.ones((img_delta.shape[0],), bool)
+            ppos_delta = ppos[prefix_spans:] if ppos is not None else None
+
+        buckets = (32, 64, 128, 256, 512, 1024, 2048)
+        sb = next((x for x in buckets if x >= len(delta)), len(delta))
+        ids_padded = np.full((1, sb), gen_cfg.pad_token_id, np.int32)
+        ids_padded[0, :len(delta)] = np.asarray(delta, np.int32)
+        dm = np.zeros((1, sb), bool)
+        dm[0, :len(delta)] = delta_mask
+        seg_embeds = rt.agent.apply(
+            {"params": rt.agent_params}, jnp.asarray(ids_padded),
+            img_delta,
+            jnp.asarray(dm) if img_delta is not None else None,
+            jnp.asarray(ecm) if ecm is not None else None,
+            ppos_delta, method="embed_with_images")
+
+        out, self._cache, _total = generate_tokens_cached(
+            rt.agent, {"params": rt.agent_params}, self._cache, seg_embeds,
+            jnp.int32(lcp), jnp.int32(len(delta)),
+            jnp.int32(input_ids[-1]), jax.random.PRNGKey(0), gen_cfg, vocab)
+
+        tokens = np.asarray(out["tokens"][0])
+        gen_tokens, eoi_indices = _trim_and_spans(tokens, gen_cfg, vocab)
+        self._cached_ids = list(input_ids) + [int(x) for x in gen_tokens]
+
+        n_img = gen_cfg.num_img_gen_tokens
+        img_gen_feat = None
+        if eoi_indices:
+            spans = jnp.stack([out["hidden"][0][j - n_img:j]
+                               for j in eoi_indices])
+            img_gen_feat = rt.agent.apply({"params": rt.agent_params}, spans,
+                                          method="decode_image_feats")
+        text_mask = np.ones(len(gen_tokens), bool)
+        for j in eoi_indices:
+            text_mask[j - n_img:j] = False
+        text_mask[gen_tokens == vocab.boi] = False
+        return {"text": rt.tokenizer.decode(gen_tokens[text_mask]),
+                "has_img_output": bool(eoi_indices),
+                "img_gen_feat": img_gen_feat,
+                "num_gen_imgs": len(eoi_indices),
+                "tokens": gen_tokens}
+
     def send(self, text: str, image=None, max_new_tokens: int = 512,
              num_inference_steps: int = 30, seed: int = 42):
         """One user turn -> assistant reply {text, images}."""
@@ -113,10 +210,15 @@ class ChatSession:
                 self.rt.agent_cfg.num_img_in_tokens, \
                 "history image spans out of sync with stored features"
 
-        out = self.rt.generate(input_ids, image_embeds=image_embeds,
-                               embeds_cmp_mask=embeds_cmp,
-                               ids_cmp_mask=cmp_mask, patch_positions=ppos,
-                               max_new_tokens=max_new_tokens)
+        if self.prefix_cache:
+            out = self._generate_cached(input_ids, cmp_mask, image_embeds,
+                                        ppos, max_new_tokens)
+        else:
+            out = self.rt.generate(input_ids, image_embeds=image_embeds,
+                                   embeds_cmp_mask=embeds_cmp,
+                                   ids_cmp_mask=cmp_mask,
+                                   patch_positions=ppos,
+                                   max_new_tokens=max_new_tokens)
 
         images = None
         reply_patches = 0

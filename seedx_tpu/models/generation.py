@@ -238,6 +238,138 @@ def generate_tokens(
     return {"tokens": state[7], "hidden": state[8], "finished": state[9]}
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "vocab"),
+    donate_argnames=("cache",))
+def generate_tokens_cached(
+    model: ContinuousLVLM,
+    variables: Any,
+    cache: Any,                    # preallocated KV cache [L, 1, C, ...]
+    seg_embeds: jnp.ndarray,       # [1, Sb, D] RIGHT-padded prompt delta
+    seg_start: jnp.ndarray,        # tokens already valid in the cache (LCP)
+    seg_len: jnp.ndarray,          # valid tokens in the delta
+    last_prompt_token: jnp.ndarray,  # [] int32
+    rng: jnp.ndarray,
+    gen_cfg: GenerationConfig,
+    vocab: MultimodalVocab = DEFAULT_VOCAB,
+):
+    """Prefix-cached single-prompt generation (multi-turn chat).
+
+    The reference (and ``generate_tokens``) re-prefills the full
+    serialized history every turn; here the session's KV cache persists
+    across turns at absolute positions [0, C) and only the NEW tokens (the
+    suffix after the longest common prefix with the cached ids) run a
+    prefill — attention against the cached prefix KV is mathematically
+    identical to re-prefilling everything.  Stale KV beyond
+    ``seg_start + seg_len`` (last turn's generated tokens that the history
+    re-serialization replaced) is overwritten or masked by the valid
+    window.  Decode then runs the same while-loop engine as
+    ``generate_tokens`` — EOS early exit + forced-span chunking — writing
+    generated KV at absolute positions, so the NEXT turn can extend the
+    prefix further.
+
+    Returns (out dict {tokens [1,T], hidden, finished}, cache, total_len).
+    """
+    c = cache[0].shape[2]
+    t = gen_cfg.max_new_tokens
+    n_img = gen_cfg.num_img_gen_tokens
+    sb = seg_embeds.shape[1]
+
+    positions = (seg_start + jnp.arange(sb))[None, :]
+    kv_valid = (jnp.arange(c) < seg_start + seg_len)[None, :]
+    logits, prefill_hidden, cache = model.apply(
+        variables, seg_embeds, positions, kv_valid, cache, seg_start,
+        method="llm_step")
+    last = seg_len - 1
+    last_logits = jax.lax.dynamic_index_in_dim(
+        logits[0], last, 0, keepdims=False)[None].astype(jnp.float32)
+    last_hidden = jax.lax.dynamic_index_in_dim(
+        prefill_hidden[0], last, 0, keepdims=False)[None]
+    p_total = seg_start + seg_len
+    last_pos = (p_total - 1)[None]
+
+    hid_dtype = prefill_hidden.dtype
+    out_tokens0 = jnp.full((1, t), gen_cfg.pad_token_id, jnp.int32)
+    out_hidden0 = jnp.zeros((1, t, last_hidden.shape[-1]), hid_dtype)
+    out_finished0 = jnp.zeros((1, t), bool)
+
+    enable_chunk = t >= n_img + 1
+    forced_ids = jnp.concatenate(
+        [jnp.arange(vocab.img_token_start, vocab.img_token_start + n_img),
+         jnp.asarray([vocab.eoi])]).astype(jnp.int32)
+
+    def decode_kv_valid(n_valid):
+        return (jnp.arange(c) < p_total + n_valid)[None, :]
+
+    def single_step(state):
+        (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
+         rng, out_tokens, out_hidden, out_finished, n) = state
+        rng, sub = jax.random.split(rng)
+        constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
+                                             n_img)
+        token = _sample(constrained, sub, gen_cfg)
+        token = jnp.where(finished, gen_cfg.pad_token_id, token)
+        new_finished = finished | (token == gen_cfg.eos_token_id)
+        out_tokens = jax.lax.dynamic_update_slice(
+            out_tokens, token[:, None], (0, n))
+        out_hidden = jax.lax.dynamic_update_slice(
+            out_hidden, prev_hidden[:, None].astype(hid_dtype), (0, n, 0))
+        out_finished = jax.lax.dynamic_update_slice(
+            out_finished, new_finished[:, None], (0, n))
+
+        pos = prev_pos + 1
+        embeds = model.apply(variables, token[:, None], method="embed_ids")
+        logits, hidden, cache = model.apply(
+            variables, embeds, pos[:, None], decode_kv_valid(n + 1), cache,
+            p_total + n, method="llm_step")
+        return (cache, logits[:, 0].astype(jnp.float32), hidden[:, 0], pos,
+                token, new_finished, rng, out_tokens, out_hidden,
+                out_finished, n + 1)
+
+    def chunk_step(state):
+        (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
+         rng, out_tokens, out_hidden, out_finished, n) = state
+        ck = n_img + 1
+        ids = forced_ids[None, :]
+        embeds = model.apply(variables, ids, method="embed_ids")
+        pos = prev_pos[:, None] + 1 + jnp.arange(ck)[None, :]
+        logits, hidden, cache = model.apply(
+            variables, embeds, pos, decode_kv_valid(n + ck), cache,
+            p_total + n, method="llm_step")
+        hid_w = jnp.concatenate(
+            [prev_hidden[:, None], hidden[:, :n_img]], axis=1)
+        out_tokens = jax.lax.dynamic_update_slice(out_tokens, ids, (0, n))
+        out_hidden = jax.lax.dynamic_update_slice(
+            out_hidden, hid_w.astype(hid_dtype), (0, n, 0))
+        out_finished = jax.lax.dynamic_update_slice(
+            out_finished, jnp.broadcast_to(finished[:, None], (1, ck)),
+            (0, n))
+        return (cache, logits[:, -1].astype(jnp.float32), hidden[:, -1],
+                prev_pos + ck, jnp.full((1,), vocab.eoi, jnp.int32), finished,
+                rng, out_tokens, out_hidden, out_finished, n + ck)
+
+    def body(state):
+        if not enable_chunk:
+            return single_step(state)
+        prev_token, finished, n = state[4], state[5], state[-1]
+        do_chunk = (jnp.all((prev_token == vocab.boi) & ~finished)
+                    & (n + n_img + 1 <= t))
+        return jax.lax.cond(do_chunk, chunk_step, single_step, state)
+
+    def cond(state):
+        finished, n = state[5], state[-1]
+        return (n < t) & ~jnp.all(finished)
+
+    state = (cache, last_logits, last_hidden, last_pos,
+             last_prompt_token.reshape(1).astype(jnp.int32),
+             jnp.zeros((1,), bool), rng,
+             out_tokens0, out_hidden0, out_finished0, jnp.int32(0))
+    state = jax.lax.while_loop(cond, body, state)
+    return ({"tokens": state[7], "hidden": state[8], "finished": state[9]},
+            state[0], p_total + state[-1])
+
+
 @functools.partial(jax.jit, static_argnames=("model", "gen_cfg", "vocab"))
 def generate_tokens_beam(
     model: ContinuousLVLM,

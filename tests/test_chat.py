@@ -63,3 +63,33 @@ def test_add_generated_resizes_to_context_grid(rt):
     s._add_generated(same)
     assert s._image_embeds[-1].shape == (1, nq, d)
     assert len(s._patch_positions) == 2
+
+
+def test_prefix_cache_matches_full_prefill(rt, image):
+    """Three turns (image in turn 1): the prefix-cached session must produce
+    token-identical replies to the full-reprefill session, and turns 2+ must
+    actually reuse a cached prefix."""
+    a = ChatSession(rt, prefix_cache=True, cache_capacity=512)
+    b = ChatSession(rt, prefix_cache=False)
+    sends = [("describe", image), ("more detail", None), ("and now?", None)]
+    for i, (text, img) in enumerate(sends):
+        ra = a.send(text, image=img, max_new_tokens=5)
+        rb = b.send(text, image=img, max_new_tokens=5)
+        assert ra["text"] == rb["text"], i
+        assert ra["num_gen_imgs"] == rb["num_gen_imgs"]
+        if i > 0:
+            assert a.last_reused > 0, i   # delta prefill, not a re-prefill
+    # history bookkeeping stayed in sync
+    assert len(a.turns) == len(b.turns) == 6
+
+
+def test_prefix_cache_capacity_regrow(rt):
+    """Exceeding the cache capacity rebuilds it (full re-prefill) without
+    changing results."""
+    a = ChatSession(rt, prefix_cache=True, cache_capacity=64)
+    b = ChatSession(rt, prefix_cache=False)
+    long_text = "word " * 40      # forces capacity growth on a later turn
+    for text in ("hi", long_text):
+        ra = a.send(text, max_new_tokens=4)
+        rb = b.send(text, max_new_tokens=4)
+        assert ra["text"] == rb["text"]
