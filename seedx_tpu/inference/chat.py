@@ -113,6 +113,7 @@ class ChatSession:
         """Delta-prefill generation against the session KV cache."""
         from seedx_tpu.models.generation import (GenerationConfig,
                                                  _trim_and_spans,
+                                                 build_result,
                                                  generate_tokens_cached)
         from seedx_tpu.models.llama import init_kv_cache
 
@@ -123,15 +124,14 @@ class ChatSession:
             num_img_gen_tokens=rt.agent_cfg.num_img_out_tokens,
             eos_token_id=rt.tokenizer.eos_token_id,
             pad_token_id=rt.tokenizer.pad_token_id)
-        need = len(input_ids) + max_new_tokens
-        if self._cache is None or self._cache[0].shape[2] < need:
-            cap = (max(self.cache_capacity, need) + 127) // 128 * 128
-            self._cache = init_kv_cache(rt.agent_cfg.llm, 1, cap)
-            self._cached_ids = []
-
         full_mask = (np.asarray(cmp_mask, bool) if cmp_mask is not None
                      else np.zeros((len(input_ids),), bool))
         n_in = rt.agent_cfg.num_img_in_tokens
+        buckets = (32, 64, 128, 256, 512, 1024, 2048)
+
+        def seg_bucket(n):
+            return next((x for x in buckets if x >= n), n)
+
         lcp = 0
         for a, b in zip(self._cached_ids, input_ids):
             if a != b:
@@ -140,6 +140,19 @@ class ChatSession:
         lcp = min(lcp, len(input_ids) - 1)   # always prefill ≥ 1 token
         if int(full_mask[:lcp].sum()) % n_in:
             lcp = 0                          # never split an image span
+
+        # capacity must cover decode AND the bucket-padded prefill write at
+        # offset lcp (a clamped dynamic_update_slice would silently corrupt
+        # the cached prefix)
+        need = max(len(input_ids) + max_new_tokens,
+                   lcp + seg_bucket(len(input_ids) - lcp))
+        if self._cache is None or self._cache[0].shape[2] < need:
+            lcp = 0                          # fresh cache: full prefill
+            need = max(len(input_ids) + max_new_tokens,
+                       seg_bucket(len(input_ids)))
+            cap = (max(self.cache_capacity, need) + 127) // 128 * 128
+            self._cache = init_kv_cache(rt.agent_cfg.llm, 1, cap)
+            self._cached_ids = []
         self.last_reused = lcp
 
         delta = input_ids[lcp:]
@@ -151,8 +164,7 @@ class ChatSession:
             ecm = np.ones((img_delta.shape[0],), bool)
             ppos_delta = ppos[prefix_spans:] if ppos is not None else None
 
-        buckets = (32, 64, 128, 256, 512, 1024, 2048)
-        sb = next((x for x in buckets if x >= len(delta)), len(delta))
+        sb = seg_bucket(len(delta))
         ids_padded = np.full((1, sb), gen_cfg.pad_token_id, np.int32)
         ids_padded[0, :len(delta)] = np.asarray(delta, np.int32)
         dm = np.zeros((1, sb), bool)
@@ -180,15 +192,8 @@ class ChatSession:
                                for j in eoi_indices])
             img_gen_feat = rt.agent.apply({"params": rt.agent_params}, spans,
                                           method="decode_image_feats")
-        text_mask = np.ones(len(gen_tokens), bool)
-        for j in eoi_indices:
-            text_mask[j - n_img:j] = False
-        text_mask[gen_tokens == vocab.boi] = False
-        return {"text": rt.tokenizer.decode(gen_tokens[text_mask]),
-                "has_img_output": bool(eoi_indices),
-                "img_gen_feat": img_gen_feat,
-                "num_gen_imgs": len(eoi_indices),
-                "tokens": gen_tokens}
+        return build_result(gen_tokens, eoi_indices, img_gen_feat,
+                            rt.tokenizer, vocab, n_img)
 
     def send(self, text: str, image=None, max_new_tokens: int = 512,
              num_inference_steps: int = 30, seed: int = 42):

@@ -39,7 +39,7 @@ import numpy as np
 
 from seedx_tpu.models.agent import ContinuousLVLM
 from seedx_tpu.models.generation import (GenerationConfig, _sample,
-                                         _trim_and_spans,
+                                         _trim_and_spans, build_result,
                                          constrain_image_tokens)
 from seedx_tpu.models.llama import init_kv_cache
 from seedx_tpu.text.vocab import DEFAULT_VOCAB, MultimodalVocab
@@ -230,8 +230,11 @@ class ContinuousEngine:
         dummy = {"input_ids": [1, 2]}
         free = next((i for i, r in enumerate(self._slot_req) if r is None),
                     None)
-        bb = 1
-        while bb <= self.slots:
+        limit = 1
+        while limit < self.slots:      # admission batches pad to pow2, so a
+            limit *= 2                 # non-pow2 slot count reaches the NEXT
+        bb = 1                         # power (e.g. slots=6 -> bb=8)
+        while bb <= limit:
             for bucket in buckets:
                 minis, lgs, lhs = self._prefill_group([dummy] * bb, bucket)
                 if free is not None:
@@ -252,6 +255,14 @@ class ContinuousEngine:
         ``max_new_tokens`` caps THIS request (≤ the engine-wide budget) —
         rows with small budgets free their slots early, which is where
         continuous batching beats the all-rows-run-together flush."""
+        max_bucket = max(self.gen_cfg.prompt_buckets)
+        if len(request["input_ids"]) > max_bucket:
+            # the slot cache is sized max(prompt_buckets) + max_new_tokens;
+            # a longer prompt would write KV past the cache end (silently
+            # dropped by the per-row scatter) — fail loudly instead
+            raise ValueError(
+                f"prompt length {len(request['input_ids'])} exceeds the "
+                f"largest prompt bucket {max_bucket}")
         rid = self._count
         self._count += 1
         budget = min(max_new_tokens or self.gen_cfg.max_new_tokens,
@@ -292,8 +303,14 @@ class ContinuousEngine:
         image_embeds = jnp.concatenate(img_parts) if img_parts else None
         ecm = np.concatenate(ecm_parts) if ecm_parts else None
         ppos = None
-        if img_parts and all(p is not None for p in pp_parts):
-            ppos = jnp.concatenate([jnp.asarray(p) for p in pp_parts])
+        if img_parts and any(p is not None for p in pp_parts):
+            # requests without patch positions get the center default (the
+            # reference's thumbnail coordinate) rather than silently
+            # stripping positions from every co-admitted request
+            ppos = jnp.concatenate([
+                jnp.asarray(p) if p is not None
+                else jnp.full((img.shape[0], 2), 0.5, jnp.float32)
+                for p, img in zip(pp_parts, img_parts)])
         embeds = self.model.apply(
             self.variables, jnp.asarray(ids_padded),
             image_embeds,
@@ -354,17 +371,8 @@ class ContinuousEngine:
             if eoi:
                 feat = img_gen_all[consumed:consumed + len(eoi)]
                 consumed += len(eoi)
-            text_mask = np.ones(len(tokens), bool)
-            for j in eoi:
-                text_mask[j - n_img:j] = False
-            text_mask[tokens == self.vocab.boi] = False
-            self._results[self._slot_req[i]] = {
-                "text": self.rt.tokenizer.decode(tokens[text_mask]),
-                "has_img_output": bool(eoi),
-                "img_gen_feat": feat,
-                "num_gen_imgs": len(eoi),
-                "tokens": tokens,
-            }
+            self._results[self._slot_req[i]] = build_result(
+                tokens, eoi, feat, self.rt.tokenizer, self.vocab, n_img)
             self._slot_req[i] = None
 
     # ---- driving ---------------------------------------------------------

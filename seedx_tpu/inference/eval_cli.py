@@ -228,6 +228,10 @@ def main(argv=None):
                             "sd", keep_ratio=False,
                             image_size=rt.adapter.cfg.sampler.height)
                         latent_image = jnp.asarray(tf(edit_sources[i]))[None]
+                        n_spans = res["img_gen_feat"].shape[0]
+                        if n_spans > 1:   # one condition per generated span
+                            latent_image = jnp.repeat(latent_image, n_spans,
+                                                      axis=0)
                     res["images"] = rt.adapter.generate(
                         res["img_gen_feat"], latent_image=latent_image,
                         seed=args.seed,

@@ -52,12 +52,23 @@ class ServingEngine:
         self.max_new_tokens = max_new_tokens
         self.num_inference_steps = num_inference_steps
         self.seed = seed
-        if tile_buckets is not None:
-            # bound distinct compiled ViT programs across anyres tile counts
-            # (runtime.encode_image_anyres pads to the next bucket)
-            rt.tile_buckets = tuple(tile_buckets)
+        # bound distinct compiled ViT programs across anyres tile counts
+        # (runtime.encode_image_anyres pads to the next bucket) — applied
+        # only around THIS engine's image prep, not mutated onto the shared
+        # runtime
+        self.tile_buckets = tuple(tile_buckets) if tile_buckets else None
         self._pending: List[_Pending] = []
         self._count = 0
+
+    def _with_tile_buckets(self, fn):
+        if self.tile_buckets is None:
+            return fn()
+        prev = self.rt.tile_buckets
+        self.rt.tile_buckets = self.tile_buckets
+        try:
+            return fn()
+        finally:
+            self.rt.tile_buckets = prev
 
     # ---- submission --------------------------------------------------------
 
@@ -69,8 +80,9 @@ class ServingEngine:
 
     def submit_comprehend(self, image, question: str,
                           prompt_style: str = "instruct") -> int:
-        ids, cmp_mask, embeds, ecm, ppos = _prepare_image_prompt(
-            self.rt, image, question, prompt_style)
+        ids, cmp_mask, embeds, ecm, ppos = self._with_tile_buckets(
+            lambda: _prepare_image_prompt(self.rt, image, question,
+                                          prompt_style))
         return self._push({"input_ids": ids, "image_embeds": embeds,
                            "embeds_cmp_mask": ecm, "ids_cmp_mask": cmp_mask,
                            "patch_positions": ppos}, "comprehend")
@@ -81,8 +93,8 @@ class ServingEngine:
         return self._push({"input_ids": ids}, "t2i")
 
     def submit_edit(self, image, instruction: str) -> int:
-        ids, cmp_mask, embeds, ecm, ppos = _prepare_image_prompt(
-            self.rt, image, instruction)
+        ids, cmp_mask, embeds, ecm, ppos = self._with_tile_buckets(
+            lambda: _prepare_image_prompt(self.rt, image, instruction))
         return self._push({"input_ids": ids, "image_embeds": embeds,
                            "embeds_cmp_mask": ecm, "ids_cmp_mask": cmp_mask,
                            "patch_positions": ppos}, "edit", image=image)

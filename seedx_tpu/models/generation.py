@@ -516,6 +516,25 @@ def _trim_and_spans(tokens: np.ndarray, gen_cfg: GenerationConfig,
     return tokens, eoi_indices
 
 
+def build_result(tokens: np.ndarray, eoi_indices, img_gen_feat, tokenizer,
+                 vocab: MultimodalVocab, num_img_gen_tokens: int
+                 ) -> Dict[str, Any]:
+    """Assemble the engine-common result dict from trimmed tokens + spans —
+    the single source of truth for text masking (forced image ids and
+    ``<img>`` markers dropped; reference: seed_x.py:201-215), shared by
+    ``generate_batch``, the continuous engine's harvest, and the
+    prefix-cached chat path."""
+    text_mask = np.ones(len(tokens), bool)
+    for j in eoi_indices:
+        text_mask[j - num_img_gen_tokens:j] = False
+    text_mask[tokens == vocab.boi] = False
+    return {"text": tokenizer.decode(tokens[text_mask]),
+            "has_img_output": bool(eoi_indices),
+            "img_gen_feat": img_gen_feat,
+            "num_gen_imgs": len(eoi_indices),
+            "tokens": tokens}
+
+
 def generate_batch(
     model: ContinuousLVLM,
     variables: Any,
@@ -572,10 +591,16 @@ def generate_batch(
         embeds_cmp = np.concatenate(
             [np.asarray(r["embeds_cmp_mask"], bool) for r in requests
              if r.get("image_embeds") is not None])
-        pp_parts = [r.get("patch_positions") for r in requests
-                    if r.get("image_embeds") is not None]
-        if all(p is not None for p in pp_parts):
-            patch_pos = jnp.concatenate([jnp.asarray(p) for p in pp_parts])
+        pp_parts = [(r.get("patch_positions"), r["image_embeds"])
+                    for r in requests if r.get("image_embeds") is not None]
+        if any(p is not None for p, _ in pp_parts):
+            # missing positions default to the center coordinate (the
+            # reference's thumbnail value) so one request can't strip the
+            # patch-position embedding from the whole batch
+            patch_pos = jnp.concatenate([
+                jnp.asarray(p) if p is not None
+                else jnp.full((img.shape[0], 2), 0.5, jnp.float32)
+                for p, img in pp_parts])
 
     prompt_embeds = model.apply(
         variables, jnp.asarray(ids_padded),
@@ -622,18 +647,8 @@ def generate_batch(
         if eoi_indices:
             img_gen_feat = img_gen_all[consumed:consumed + len(eoi_indices)]
             consumed += len(eoi_indices)
-        # Text: drop forced image tokens and <img> markers (seed_x.py:201-215).
-        text_mask = np.ones(len(tokens), bool)
-        for j in eoi_indices:
-            text_mask[j - n_img:j] = False
-        text_mask[tokens == vocab.boi] = False
-        results.append({
-            "text": tokenizer.decode(tokens[text_mask]),
-            "has_img_output": bool(eoi_indices),
-            "img_gen_feat": img_gen_feat,
-            "num_gen_imgs": len(eoi_indices),
-            "tokens": tokens,
-        })
+        results.append(build_result(tokens, eoi_indices, img_gen_feat,
+                                    tokenizer, vocab, n_img))
     return results
 
 

@@ -147,3 +147,12 @@ def test_continuous_sampling(rt):
         assert list(res[i_span]["tokens"]) == want, n_img
         outs.append(list(res[i_text]["tokens"]))
     assert outs[0] != outs[1]          # sampling actually samples
+
+
+def test_continuous_rejects_overlong_prompt(rt):
+    """Prompts longer than the largest bucket would scribble KV past the
+    slot cache; submit must fail loudly instead."""
+    eng = ContinuousEngine(rt, slots=1, max_new_tokens=4,
+                           prompt_buckets=(64,))
+    with pytest.raises(ValueError):
+        eng.submit(_text_request(rt, "word " * 200))
