@@ -191,10 +191,13 @@ class ContinuousEngine:
             do_sample=do_sample, temperature=temperature, top_p=top_p)
         self.slots = slots
         self.chunk_steps = chunk_steps
-        self._pending: List[tuple] = []     # (req_id, request)
+        self._pending: List[tuple] = []     # (req_id, request, budget)
         self._slot_req: List[Optional[int]] = [None] * slots
         self._results: Dict[int, Dict[str, Any]] = {}
         self._count = 0
+        self._completed = 0
+        self._generated_tokens = 0
+        self._chunks = 0
 
         cfg = self.model.cfg.llm
         t = max_new_tokens
@@ -374,8 +377,21 @@ class ContinuousEngine:
             self._results[self._slot_req[i]] = build_result(
                 tokens, eoi, feat, self.rt.tokenizer, self.vocab, n_img)
             self._slot_req[i] = None
+            self._completed += 1
+            self._generated_tokens += len(tokens)
 
     # ---- driving ---------------------------------------------------------
+
+    def stats(self) -> Dict[str, Any]:
+        """Engine counters for serving observability (host values only —
+        reading them never blocks on the device)."""
+        return {"submitted": self._count,
+                "pending": len(self._pending),
+                "active_slots": sum(r is not None for r in self._slot_req),
+                "slots": self.slots,
+                "completed": self._completed,
+                "generated_tokens": self._generated_tokens,
+                "chunks": self._chunks}
 
     def step(self) -> int:
         """Admit -> one decode chunk -> harvest.  Returns #results ready."""
@@ -384,6 +400,7 @@ class ContinuousEngine:
             self.state = _decode_chunk(self.model, self.variables, self.state,
                                        self.gen_cfg, self.vocab,
                                        self.chunk_steps)
+            self._chunks += 1
         self._harvest()
         return len(self._results)
 

@@ -156,3 +156,16 @@ def test_continuous_rejects_overlong_prompt(rt):
                            prompt_buckets=(64,))
     with pytest.raises(ValueError):
         eng.submit(_text_request(rt, "word " * 200))
+
+
+def test_continuous_stats(rt):
+    eng = ContinuousEngine(rt, slots=2, max_new_tokens=4, chunk_steps=2,
+                           prompt_buckets=(64,))
+    for text in ("a", "b b", "c c c"):
+        eng.submit(_text_request(rt, text))
+    assert eng.stats()["pending"] == 3
+    eng.run()
+    s = eng.stats()
+    assert s["completed"] == s["submitted"] == 3
+    assert s["pending"] == 0 and s["active_slots"] == 0
+    assert s["generated_tokens"] > 0 and s["chunks"] >= 2

@@ -107,3 +107,51 @@ def test_greedy_decode_matches_hf(hf_pair):
         token = jnp.argmax(lg[:, 0], -1)
         out.append(int(token[0]))
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_sequence_classification_matches_hf(hf_pair):
+    """Sequence-classification head vs the HF torch oracle, including the
+    last-non-pad-token selection semantics on right-padded batches
+    (reference: modeling_llama_xformer.py:804-919)."""
+    from transformers import LlamaConfig as HFConfig
+    from transformers.models.llama.modeling_llama import \
+        LlamaForSequenceClassification as HFSeqCls
+
+    from seedx_tpu.models.llama import LlamaForSequenceClassification
+
+    torch.manual_seed(1)
+    hf_cfg = HFConfig(
+        vocab_size=500, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=128, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attn_implementation="eager", num_labels=3, pad_token_id=0)
+    hf = HFSeqCls(hf_cfg).eval().to(torch.float32)
+    sd = {k: v for k, v in hf.state_dict().items()}
+
+    # trunk + embedding through the standard converter (dummy lm_head)
+    sd_conv = dict(sd)
+    sd_conv["lm_head.weight"] = torch.zeros(500, 64)
+    conv = convert_llama_hf(sd_conv, num_layers=2, vocab_size=500)
+    params = {"embed_tokens": conv["embed_tokens"], "model": conv["model"],
+              "score": {"kernel": np.asarray(sd["score.weight"]).T}}
+
+    cfg = llama_debug(vocab_size=500, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=4,
+                      dtype=jnp.float32, param_dtype=jnp.float32,
+                      attention_impl="xla")
+    model = LlamaForSequenceClassification(cfg, num_labels=3)
+
+    B, S = 3, 10
+    lens = [10, 7, 4]
+    ids = torch.randint(1, 500, (B, S))
+    for i, n in enumerate(lens):
+        ids[i, n:] = 0                               # right padding
+    attn = torch.zeros((B, S), dtype=torch.long)
+    for i, n in enumerate(lens):
+        attn[i, :n] = 1
+    with torch.no_grad():
+        ref = hf(input_ids=ids, attention_mask=attn).logits.numpy()
+
+    out = model.apply({"params": params}, jnp.asarray(ids.numpy()),
+                      jnp.asarray(attn.numpy()).astype(bool))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-3, rtol=2e-3)
