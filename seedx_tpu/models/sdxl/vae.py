@@ -22,6 +22,15 @@ from flax import linen as nn
 SDXL_VAE_SCALING = 0.13025
 
 
+def _spatial_constraint(x: jnp.ndarray) -> jnp.ndarray:
+    """Latent/image rows shard over the ``tensor`` axis under an active mesh
+    + logical rules (SDXLAdapter.shard) — same mechanism as the UNet; no-op
+    otherwise.  The 1024² fp32 decode is the heaviest single activation in
+    the stack (128 MB at the output conv), so GSPMD halo-exchanged convs
+    pay off immediately on a slice."""
+    return nn.with_logical_constraint(x, ("cfg_batch", "height", None, None))
+
+
 @dataclasses.dataclass(frozen=True)
 class VAEConfig:
     channels: Tuple[int, ...] = (128, 256, 512, 512)
@@ -141,15 +150,17 @@ class VAEDecoder(nn.Module):
         x = VAEResnet(ch, cfg, name="mid_res_0")(x)
         x = VAEAttention(cfg, name="mid_attn")(x)
         x = VAEResnet(ch, cfg, name="mid_res_1")(x)
+        x = _spatial_constraint(x)
         for i, ch in enumerate(reversed(cfg.channels)):
             for j in range(cfg.layers_per_block + 1):
                 x = VAEResnet(ch, cfg, name=f"up_{i}_res_{j}")(x)
             if i < len(cfg.channels) - 1:
                 b, h, w, c = x.shape
                 x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-                x = nn.Conv(c, (3, 3), padding=1, dtype=cfg.dtype,
+                x = _spatial_constraint(
+                    nn.Conv(c, (3, 3), padding=1, dtype=cfg.dtype,
                             param_dtype=cfg.param_dtype,
-                            name=f"up_{i}_upsample")(x)
+                            name=f"up_{i}_upsample")(x))
         x = nn.GroupNorm(cfg.norm_num_groups, epsilon=1e-6, dtype=cfg.dtype,
                          param_dtype=cfg.param_dtype, name="norm_out")(x)
         x = nn.silu(x)
