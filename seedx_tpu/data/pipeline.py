@@ -287,3 +287,43 @@ class ThreadPrefetcher:
                 raise self._err
             raise StopIteration
         return item
+
+
+class ResumableIterator:
+    """Position-tracked stream wrapper for EXACT data resume.
+
+    The reference has no dataloader state capture at all — resume just
+    reseeds the datapipe per epoch, replaying already-seen samples
+    (reference: src/train/train_seed_x_sft.py:242-269; SURVEY §5).  Here
+    the trainer wraps its (deterministically seeded) stream in this
+    iterator and, on resume, fast-forwards ``skip(step * accum)`` batches
+    so training continues on exactly the data it would have seen —
+    byte-identical streams given the same seeds.  ``skip`` consumes (and
+    decodes) the skipped batches; for the reference-scale micro-batches
+    that costs seconds per thousand steps, traded for exactness.
+    """
+
+    def __init__(self, it):
+        self._it = iter(it)
+        self.position = 0          # batches consumed from the source
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        batch = next(self._it)
+        self.position += 1
+        return batch
+
+    def skip(self, n: int) -> int:
+        """Fast-forward ``n`` batches; returns how many were skipped
+        (fewer if the stream ended)."""
+        done = 0
+        for _ in range(n):
+            try:
+                next(self._it)
+            except StopIteration:
+                break
+            self.position += 1
+            done += 1
+        return done

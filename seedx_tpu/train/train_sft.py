@@ -94,6 +94,7 @@ def train_loop(
         state, frozen = create_train_state(agent_params, train_cfg)
         state = jax.tree.map(_commit, state)
         frozen = jax.tree.map(_commit, frozen)
+        resumed_step = 0
         if run_cfg.resume and ckpt.latest_step() is not None:
             restored = ckpt.restore(template=state)
             # re-place every leaf on its template sharding (orbax may restore
@@ -101,7 +102,8 @@ def train_loop(
             state = jax.tree.map(
                 lambda t, r: jax.device_put(r, t.sharding)
                 if hasattr(t, "sharding") else r, state, restored)
-            logger.info("resumed from step %d", int(state.step))
+            resumed_step = int(state.step)
+            logger.info("resumed from step %d", resumed_step)
         train_step = make_train_step(agent, train_cfg)
         vit_encode = make_vit_encode(vit) if vit is not None else None
         if vit_params is not None:
@@ -111,6 +113,15 @@ def train_loop(
         rng = jax.random.PRNGKey(run_cfg.seed)
         t_last = time.time()
         accum = train_cfg.gradient_accumulation_steps
+        if resumed_step:
+            # EXACT data resume: fast-forward the (deterministically seeded)
+            # stream past every batch already trained on — the reference
+            # only reseeds and replays (train_seed_x_sft.py:242-269)
+            from seedx_tpu.data.pipeline import ResumableIterator
+
+            data_iter = ResumableIterator(data_iter)
+            skipped = data_iter.skip(resumed_step * accum)
+            logger.info("data stream fast-forwarded %d batches", skipped)
         if accum > 1:
             # stack `accum` micro-batches on a leading scan axis
             # (reference: --gradient_accumulation_steps 2,

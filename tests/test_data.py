@@ -88,3 +88,17 @@ def test_clipb_square_pad():
     assert out.shape == (8, 8, 3)
     # corners are CLIP-mean padding -> normalize to ~0
     np.testing.assert_allclose(out[0, 0], 0.0, atol=0.05)
+
+
+def test_resumable_iterator_skip():
+    from seedx_tpu.data.pipeline import ResumableIterator
+
+    it = ResumableIterator(iter(range(10)))
+    assert next(it) == 0 and next(it) == 1
+    assert it.skip(3) == 3
+    assert next(it) == 5
+    assert it.position == 6
+    assert it.skip(100) == 4          # stream ends gracefully
+    import pytest as _pytest
+    with _pytest.raises(StopIteration):
+        next(it)
