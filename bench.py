@@ -522,7 +522,20 @@ def main():
                    choices=["int8", "int8_full", "int4"],
                    help="decode_13b weight quantization (default: int8 at "
                         "batch 1, int4 for batched serving)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="wrap the metric in a jax.profiler trace written to "
+                        "DIR (parse plugins/profile/*/vm.trace.json.gz — "
+                        "NOTES_r1.md has the recipe)")
     args = p.parse_args()
+
+    import contextlib
+    profile_ctx = (jax.profiler.trace(args.profile) if args.profile
+                   else contextlib.nullcontext())
+    with profile_ctx:
+        _run_metric(args)
+
+
+def _run_metric(args):
 
     if args.metric == "e2e_turn":
         best, parts = None, None

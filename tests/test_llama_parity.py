@@ -201,3 +201,47 @@ def test_beam_search_matches_hf_generate(hf_pair):
              "ids_cmp_mask": None, "patch_positions": None}],
             gen_cfg=gen_cfg)[0]
         assert [int(x) for x in res["tokens"]] == ref, ids
+
+
+def test_greedy_generate_matches_hf(hf_pair):
+    """Greedy decode (the reference's inference default, seed_x.py:180) vs
+    HF torch ``generate``: token-exact, including EOS stopping."""
+    import jax
+    from flax import linen as nn
+
+    from seedx_tpu.models.agent import AgentConfig, ContinuousLVLM
+    from seedx_tpu.models.generation import GenerationConfig, generate_batch
+    from seedx_tpu.text.tokenizer import load_tokenizer
+
+    hf, _, params = hf_pair
+    cfg = llama_debug(vocab_size=500, hidden_size=64, intermediate_size=128,
+                      num_layers=2, num_heads=4, num_kv_heads=4,
+                      dtype=jnp.float32, param_dtype=jnp.float32,
+                      attention_impl="xla")
+    agent_cfg = AgentConfig(llm=cfg, vit_dim=16, resampler_heads=2,
+                            num_img_in_tokens=4, num_img_out_tokens=4,
+                            vit_down=False)
+    agent = ContinuousLVLM(agent_cfg)
+    av = agent.init(jax.random.PRNGKey(0), jnp.zeros((1, 8), jnp.int32),
+                    jnp.ones((1, 8), bool), jnp.zeros((1, 8), jnp.int32),
+                    jnp.zeros((1, 4, 16), jnp.float32),
+                    jnp.zeros((1,), bool), jnp.zeros((1,), bool),
+                    jnp.zeros((1, 8), bool), jnp.zeros((1, 8), bool),
+                    jnp.full((1, 2), 0.5), method="init_all")
+    aparams = nn.meta.unbox(av["params"])
+    aparams["llm"] = params
+
+    tok = load_tokenizer()
+    for ids in ([1, 17, 42, 99, 7], [1, 444, 3, 9, 10, 200]):
+        with torch.no_grad():
+            ref = hf.generate(torch.tensor([ids]), max_new_tokens=10,
+                              do_sample=False,
+                              num_beams=1)[0].tolist()[len(ids):]
+        gen_cfg = GenerationConfig(max_new_tokens=10, num_img_gen_tokens=4,
+                                   eos_token_id=2, pad_token_id=0)
+        res = generate_batch(agent, {"params": aparams}, tok, [
+            {"input_ids": ids, "image_embeds": None, "embeds_cmp_mask": None,
+             "ids_cmp_mask": None, "patch_positions": None}],
+            gen_cfg=gen_cfg)[0]
+        got = [int(x) for x in res["tokens"]]
+        assert got == ref[:len(got)] and len(got) >= min(len(ref), 10), ids
