@@ -24,12 +24,11 @@ Constrained image-token decoding (``constrain_image_tokens``) applies
 per-row, so image spans interleave freely with text across slots.  Greedy
 decoding by default (the reference's inference default, seed_x.py:180);
 ``do_sample`` enables temperature/top-p sampling — forced image spans stay
-exact because forced ids carry max+10 logits.
+exact because the constrained decoder's forcing is absolute.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 from typing import Any, Dict, List, Optional
 
@@ -42,7 +41,7 @@ from seedx_tpu.models.generation import (GenerationConfig, _sample,
                                          _trim_and_spans, build_result,
                                          constrain_image_tokens)
 from seedx_tpu.models.llama import init_kv_cache
-from seedx_tpu.text.vocab import DEFAULT_VOCAB, MultimodalVocab
+from seedx_tpu.text.vocab import MultimodalVocab
 
 
 @functools.partial(jax.jit, static_argnames=("model", "bucket"))
@@ -111,8 +110,9 @@ def _decode_chunk(model, variables, state, gen_cfg: GenerationConfig,
             state["prev_token"], state["prev_logits"], vocab, n_img)
         rng, sub = jax.random.split(state["rng"])
         # _sample: greedy or temperature/top-p per gen_cfg; one key samples
-        # independently per row.  Forced image-span ids carry max+10 logits,
-        # so sampling cannot derail a span (reference: generation.py:26).
+        # independently per row.  Forced image-span ids are absolute
+        # (non-forced ids drop to -1e9 in constrain_image_tokens), so
+        # sampling cannot derail a span.
         token = _sample(constrained, sub, gen_cfg).astype(jnp.int32)
         token = jnp.where(running, token, gen_cfg.pad_token_id)
         state = dict(state, rng=rng)
