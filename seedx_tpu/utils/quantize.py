@@ -5,6 +5,11 @@ layout expected by ``LlamaConfig(quantization="int8")``: every projection
 ``kernel`` [in, out] becomes ``kernel_q`` int8 + ``kernel_scale`` fp32[out]
 (symmetric per-output-channel absmax).  Embeddings, lm_head, norms, and LoRA
 factors stay high precision.
+
+No reference counterpart: the reference serves fp16 and has no
+quantization anywhere (reference: src/inference/eval_img2text_seed_x_i.py:61
+— ``.half()`` is the whole story); this ladder is what fits the 13B on a
+16G v5e chip and unlocks batched serving (PARITY.md row 28).
 """
 
 from __future__ import annotations
