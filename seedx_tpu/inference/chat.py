@@ -40,7 +40,10 @@ class ChatSession:
     only the new suffix — the reference (and ``generate_tokens``)
     re-prefill the entire history every turn.  Falls back to a full
     prefill whenever the serialization diverges (or an image span would be
-    split at the boundary), so replies are token-identical either way."""
+    split at the boundary), and reuse never extends over a decode-produced
+    image span (whose cached KV came from plain token embeddings, not the
+    generated image's features), so replies are token-identical either
+    way."""
 
     def __init__(self, rt: SeedXRuntime, system_message: str = "",
                  prefix_cache: bool = True, cache_capacity: int = 2048):
@@ -53,6 +56,13 @@ class ChatSession:
         self.cache_capacity = cache_capacity
         self._cache = None
         self._cached_ids: List[int] = []   # ids whose KV fills cache[0:len)
+        # Parallel record: was each cached position's KV computed with image
+        # features spliced in (True) or from plain token-id embeddings
+        # (False)?  Decode-produced image spans are token-identical to the
+        # re-serialized history, but their KV lacks the generated image's
+        # features — reuse must stop before them so the delta prefill
+        # re-embeds the span via embed_with_images.
+        self._cached_cmp: List[bool] = []
         self.last_reused = 0               # LCP length of the last send
 
     # ------------------------------------------------------------------
@@ -133,8 +143,11 @@ class ChatSession:
             return next((x for x in buckets if x >= n), n)
 
         lcp = 0
-        for a, b in zip(self._cached_ids, input_ids):
-            if a != b:
+        for i, (a, b) in enumerate(zip(self._cached_ids, input_ids)):
+            # stop on id mismatch OR wherever the cached KV's embedding kind
+            # (image features vs plain token embeds) disagrees with what this
+            # position needs now — decode-produced image spans land here
+            if a != b or self._cached_cmp[i] != bool(full_mask[i]):
                 break
             lcp += 1
         lcp = min(lcp, len(input_ids) - 1)   # always prefill ≥ 1 token
@@ -153,6 +166,7 @@ class ChatSession:
             cap = (max(self.cache_capacity, need) + 127) // 128 * 128
             self._cache = init_kv_cache(rt.agent_cfg.llm, 1, cap)
             self._cached_ids = []
+            self._cached_cmp = []
         self.last_reused = lcp
 
         delta = input_ids[lcp:]
@@ -184,6 +198,10 @@ class ChatSession:
         tokens = np.asarray(out["tokens"][0])
         gen_tokens, eoi_indices = _trim_and_spans(tokens, gen_cfg, vocab)
         self._cached_ids = list(input_ids) + [int(x) for x in gen_tokens]
+        # prompt positions were embedded per full_mask; every decode-produced
+        # position (incl. forced image spans) came from token-id embeddings
+        self._cached_cmp = ([bool(x) for x in full_mask]
+                            + [False] * len(gen_tokens))
 
         n_img = gen_cfg.num_img_gen_tokens
         img_gen_feat = None

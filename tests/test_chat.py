@@ -83,6 +83,51 @@ def test_prefix_cache_matches_full_prefill(rt, image):
     assert len(a.turns) == len(b.turns) == 6
 
 
+def test_prefix_cache_reembeds_generated_image_spans(rt):
+    """A reply containing an image span writes that span's KV from plain
+    token-id embeddings during decode; the next turn's serialized history is
+    token-identical through the span, but its KV must NOT be reused — the
+    delta prefill has to re-embed the span with the generated image's
+    features (round-1 advisor finding, high severity)."""
+    from seedx_tpu.inference.chat import Turn
+
+    a = ChatSession(rt, prefix_cache=True, cache_capacity=1024)
+    b = ChatSession(rt, prefix_cache=False)
+    ra = a.send("hi", max_new_tokens=4)
+    rb = b.send("hi", max_new_tokens=4)
+    assert ra["text"] == rb["text"]
+
+    # Simulate a span-only image reply (the debug model rarely emits <img>
+    # spontaneously): register generated features and rewrite the assistant
+    # turn in BOTH sessions exactly as send() does after has_img_output.
+    rng = np.random.RandomState(1)
+    d = rt.agent_cfg.vit_dim
+    n_out = rt.agent_cfg.num_img_out_tokens
+    feat = jnp.asarray(rng.randn(1, n_out, d), jnp.bfloat16)
+    for s in (a, b):
+        s._add_generated(feat)
+        s.turns[-1] = Turn("assistant", "", 1)
+
+    # Fill session a's cache rows for the span the way decode would have:
+    # a delta prefill of the serialized span ids from PLAIN token embeddings
+    # (full_mask all False), then reset the record to "decode produced these".
+    tok = rt.tokenizer
+    ids_hist = [tok.bos_token_id] + tok.encode(a._build_prompt())
+    a._generate_cached(ids_hist, None, None, None, max_new_tokens=1)
+    a._cached_ids = list(ids_hist)
+    a._cached_cmp = [False] * len(ids_hist)
+    boi_pos = ids_hist.index(tok.vocab.boi) if hasattr(tok, "vocab") else None
+
+    ra = a.send("what about it?", max_new_tokens=5)
+    rb = b.send("what about it?", max_new_tokens=5)
+    assert ra["text"] == rb["text"]
+    assert ra["num_gen_imgs"] == rb["num_gen_imgs"]
+    # a prefix WAS reused, but reuse stopped at the span boundary
+    assert a.last_reused > 0
+    if boi_pos is not None:
+        assert a.last_reused <= boi_pos + 1
+
+
 def test_prefix_cache_capacity_regrow(rt):
     """Exceeding the cache capacity rebuilds it (full re-prefill) without
     changing results."""
