@@ -24,10 +24,11 @@ from seedx_tpu.text import prompts
 
 
 def _prepare_image_prompt(rt: SeedXRuntime, image, instruction: str,
-                          prompt_style: str = "instruct"):
+                          prompt_style: str = "instruct", tile_buckets=None):
     """Anyres-encode an image and build the token stream + masks
     (reference: eval_img2text_seed_x_i.py:132-165)."""
-    embeds, patch_pos = rt.encode_image_anyres(image)
+    embeds, patch_pos = rt.encode_image_anyres(image,
+                                               tile_buckets=tile_buckets)
     n_patches = embeds.shape[0]
     image_tokens = prompts.multi_patch_image_string(
         n_patches, rt.agent_cfg.num_img_in_tokens)

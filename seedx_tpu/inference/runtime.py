@@ -243,20 +243,23 @@ class SeedXRuntime:
         return grid_pinpoints_from_strings(self.resolution_grids,
                                            self.base_resolution)
 
-    def encode_image_anyres(self, image):
+    def encode_image_anyres(self, image, tile_buckets=None):
         """PIL image -> (vit_embeds [n_tiles+1, T, D], patch_pos
         [n_tiles+1, 2]) (reference: eval_img2text_seed_x_i.py:132-141).
 
-        With ``tile_buckets`` set, the tile stack is zero-padded to the next
-        bucket before the ViT runs (bounding the number of distinct compiled
-        ViT programs) and sliced back after — callers see exact shapes either
-        way."""
+        With ``tile_buckets`` set (explicit argument wins over the runtime
+        default — engines pass their own so a shared runtime is never
+        mutated), the tile stack is zero-padded to the next bucket before the
+        ViT runs (bounding the number of distinct compiled ViT programs) and
+        sliced back after — callers see exact shapes either way."""
         tiles, patch_pos = process_anyres_image(
             image, self.image_transform(), self.grid_pinpoints(),
             self.base_resolution)
         n = tiles.shape[0]
-        if self.tile_buckets:
-            nb = next((x for x in sorted(self.tile_buckets) if x >= n), n)
+        buckets = (tile_buckets if tile_buckets is not None
+                   else self.tile_buckets)
+        if buckets:
+            nb = next((x for x in sorted(buckets) if x >= n), n)
             if nb > n:
                 tiles = np.concatenate(
                     [tiles, np.zeros((nb - n, *tiles.shape[1:]),

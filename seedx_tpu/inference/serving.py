@@ -53,22 +53,13 @@ class ServingEngine:
         self.num_inference_steps = num_inference_steps
         self.seed = seed
         # bound distinct compiled ViT programs across anyres tile counts
-        # (runtime.encode_image_anyres pads to the next bucket) — applied
-        # only around THIS engine's image prep, not mutated onto the shared
-        # runtime
+        # (runtime.encode_image_anyres pads to the next bucket) — passed as
+        # an explicit argument through THIS engine's image prep, so a shared
+        # runtime is never mutated (and concurrent submit_* calls can't race
+        # on it)
         self.tile_buckets = tuple(tile_buckets) if tile_buckets else None
         self._pending: List[_Pending] = []
         self._count = 0
-
-    def _with_tile_buckets(self, fn):
-        if self.tile_buckets is None:
-            return fn()
-        prev = self.rt.tile_buckets
-        self.rt.tile_buckets = self.tile_buckets
-        try:
-            return fn()
-        finally:
-            self.rt.tile_buckets = prev
 
     # ---- submission --------------------------------------------------------
 
@@ -80,9 +71,9 @@ class ServingEngine:
 
     def submit_comprehend(self, image, question: str,
                           prompt_style: str = "instruct") -> int:
-        ids, cmp_mask, embeds, ecm, ppos = self._with_tile_buckets(
-            lambda: _prepare_image_prompt(self.rt, image, question,
-                                          prompt_style))
+        ids, cmp_mask, embeds, ecm, ppos = _prepare_image_prompt(
+            self.rt, image, question, prompt_style,
+            tile_buckets=self.tile_buckets)
         return self._push({"input_ids": ids, "image_embeds": embeds,
                            "embeds_cmp_mask": ecm, "ids_cmp_mask": cmp_mask,
                            "patch_positions": ppos}, "comprehend")
@@ -93,8 +84,8 @@ class ServingEngine:
         return self._push({"input_ids": ids}, "t2i")
 
     def submit_edit(self, image, instruction: str) -> int:
-        ids, cmp_mask, embeds, ecm, ppos = self._with_tile_buckets(
-            lambda: _prepare_image_prompt(self.rt, image, instruction))
+        ids, cmp_mask, embeds, ecm, ppos = _prepare_image_prompt(
+            self.rt, image, instruction, tile_buckets=self.tile_buckets)
         return self._push({"input_ids": ids, "image_embeds": embeds,
                            "embeds_cmp_mask": ecm, "ids_cmp_mask": cmp_mask,
                            "patch_positions": ppos}, "edit", image=image)

@@ -84,7 +84,11 @@ def _flash_fwd_kernel(starts_ref, ends_ref, qoff_ref, q_ref, k_ref, v_ref,
 
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         alpha = jnp.exp(m - m_new)
-        p = jnp.exp(s - m_new[:, None])
+        # Rows fully masked so far have m_new == NEG_INF; exp(s - m_new)
+        # would be exp(0) = 1 for every masked cell (garbage l and output),
+        # so zero p explicitly (matches the backward kernels' explicit mask).
+        p = jnp.where(m_new[:, None] == NEG_INF, 0.0,
+                      jnp.exp(s - m_new[:, None]))
         l_new = l * alpha + jnp.sum(p, axis=-1)
         pv = jax.lax.dot_general(
             p.astype(v_tile.dtype), v_tile,
@@ -100,7 +104,8 @@ def _flash_fwd_kernel(starts_ref, ends_ref, qoff_ref, q_ref, k_ref, v_ref,
         jnp.zeros((block_q,), jnp.float32),
     )
     acc, m, l = jax.lax.fori_loop(first_k, num_k, body, init)
-    # Fully-masked rows (query beyond length) produce l == 0; emit zeros.
+    # Fully-masked rows (query beyond length, or left-padded rows whose tile
+    # keeps the k-loop running for other rows) produce l == 0; emit zeros.
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[:] = (acc / l_safe[:, None]).astype(o_ref.dtype)
     # logsumexp rows, saved for the Pallas backward (p = exp(s - lse));

@@ -121,6 +121,12 @@ def test_flash_attention_window_and_prefill_offset():
                        & (qpos < ends[:, None]))[:, :, None, None]
     diff = np.abs(np.asarray(ref, np.float32) - np.asarray(fl, np.float32))
     assert (diff * qmask).max() < 0.03
+    # Left-padded rows (q_pos < start: causal x window mask empty) must be
+    # exactly zero even when their k-loop range is non-empty because other
+    # rows in the tile keep it running — round-1 advisor finding on the fwd
+    # kernel (p = exp(NEG_INF - NEG_INF) = 1 garbage without the guard).
+    padmask = np.asarray(qpos < starts[:, None])[:, :, None, None]
+    assert np.abs(np.asarray(fl, np.float32) * padmask).max() == 0.0
 
 
 def test_flash_attention_partitions_on_mesh():
