@@ -39,14 +39,70 @@ GEN_PROMPT_RESPONSES = [
     "Sure, please enjoy this illustration.", "",
 ]
 
-# reference: src/data/image_text_pairs_clm.py:30-91 (abridged per behaviour:
-# a caption prompt sampled before generation-style captions)
+# reference: src/data/image_text_pairs_clm.py:30-58 (``gen_prompt_all``) —
+# training-data constants; one index samples the PAIR (prompt, response)
 GEN_INSTRUCTIONS = [
-    "Please generate an image based on the following caption: ",
-    "Can you create an image depicting: ",
-    "Generate an image: ",
-    "Please draw a picture of: ",
-    "Show me an image of: ",
+    "Please show me a picture of",
+    "Please design an image of",
+    "Please produce a photo of",
+    "Please generate an image of",
+    "Please draw a painting of",
+    "I'd like to see a drawing of",
+    "I'd love to see an illustration of",
+    "I'd like to view an image of",
+    "I want to see a picture of",
+    "I would like to see a photo of",
+    "Show me a photo of",
+    "Generate a picture of",
+    "Show me a photograph of",
+    "Generate an image of",
+    "Generate an image:",
+    "Generate a picture:",
+    "Generate a painting:",
+    "Generate a photograph:",
+    "Show me a photograph:",
+    "Draw a picture:",
+    "Draw a painting:",
+    "Draw an image:",
+    "Can you make an image of",
+    "Can you draw a painting of",
+    "Can you produce a picture of",
+    "Can you generate a photo of",
+    "Can you depict a picture of",
+    "Can you show me an illustration of",
+]
+
+# reference: src/data/image_text_pairs_clm.py:60-89
+# (``gen_prompt_response_all``, index-paired with GEN_INSTRUCTIONS)
+GEN_INSTRUCTION_RESPONSES = [
+    "Here is a picture.",
+    "I have designed an image.",
+    "Here is a photo.",
+    "I have generated an image.",
+    "Here's a painting.",
+    "Here's a drawing.",
+    "Enjoy this illustration.",
+    "Take a look at this image.",
+    "Here is a picture.",
+    "I have created a photo.",
+    "Enjoy this photo.",
+    "I have generated a picture.",
+    "Here is a photograph.",
+    "Here's an image.",
+    "Here's an image.",
+    "Here's a picture.",
+    "Here's a painting.",
+    "Here's a photograph.",
+    "Here's a photograph.",
+    "Enjoy this picture.",
+    "Enjoy this painting.",
+    "Enjoy this image.",
+    "Absolutely, here is an image.",
+    "Absolutely, here is a painting.",
+    "Sure, here is a picture.",
+    "Of course, here is a photo.",
+    "Certainly, please enjoy this picture.",
+    "Sure, please enjoy this illustration.",
 ]
 
 INSTRUCTION_PROMPT = "[INST] {instruction} [/INST]\n"
@@ -144,10 +200,15 @@ def encode_caption_sample(
         # generation: caption first, single 64-token target span; <img> (the
         # span opener) is itself a label so the model learns to emit it
         if add_gen_prompt:
-            prompt = GEN_INSTRUCTIONS[int(rng.integers(len(GEN_INSTRUCTIONS)))]
+            # index-paired sampling of (instruction, response), composed as
+            # prompt + caption -> template -> + response
+            # (reference: image_text_pairs_clm.py:282-300)
+            k = int(rng.integers(len(GEN_INSTRUCTIONS)))
             tmpl = instruction_prompt or INSTRUCTION_PROMPT
-            caption_ids = tokenizer.encode(
-                tmpl.format(instruction=prompt + caption))
+            text = GEN_INSTRUCTIONS[k] + " " + caption.lstrip(" ")
+            text = tmpl.format(instruction=text)
+            text = text.rstrip(" ") + " " + GEN_INSTRUCTION_RESPONSES[k]
+            caption_ids = tokenizer.encode(text)
         image_ids = _img_span(vocab, num_img_out_tokens, patch=False)
         image_labels = [image_ids[0]] + [IGNORE] * (len(image_ids) - 1)
         input_ids = ([tokenizer.bos_token_id] + caption_ids + image_ids

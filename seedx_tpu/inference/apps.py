@@ -61,16 +61,32 @@ def comprehend(rt: SeedXRuntime, image, question: str,
     return out
 
 
+def draw_boxes(image, boxes_pixels, width: int = 2):
+    """Render pixel corner boxes onto a copy of the image (green, 2px —
+    reference: eval_img2text_seed_x_i.py:16-36 ``visualize_bbox`` with cv2;
+    PIL here, same visual result)."""
+    from PIL import ImageDraw
+
+    vis = image.copy()
+    drawer = ImageDraw.Draw(vis)
+    for (x1, y1, x2, y2) in boxes_pixels:
+        drawer.rectangle([x1, y1, x2, y2], outline=(0, 255, 0), width=width)
+    return vis
+
+
 def ground(rt: SeedXRuntime, image, question: str,
            max_new_tokens: int = 512) -> Dict[str, Any]:
-    """Comprehension + bounding-box extraction
+    """Comprehension + bounding-box extraction + box rendering
     (reference: eval_img2text_seed_x_i.py:182-231)."""
     out = comprehend(rt, image, question, max_new_tokens=max_new_tokens)
     boxes = prompts.extract_boxes(out["text"])
     out["boxes"] = boxes
+    out["boxes_image"] = None
     if boxes is not None:
         w, h = image.size
         out["boxes_pixels"] = prompts.boxes_to_pixels(boxes, w, h)
+        # reference saves the drawn image to vis/ground.png (:228-231)
+        out["boxes_image"] = draw_boxes(image, out["boxes_pixels"])
     return out
 
 

@@ -101,6 +101,12 @@ def main(argv=None):
                           max_new_tokens=args.max_new_tokens)
         print(out["clean_text"])
         print("boxes:", out.get("boxes_pixels"))
+        if out["boxes_image"] is not None:
+            # reference: eval_img2text_seed_x_i.py:228-231 (vis/ground.png)
+            os.makedirs(args.out_dir, exist_ok=True)
+            path = os.path.join(args.out_dir, "ground.png")
+            out["boxes_image"].save(path)
+            print("saved:", path)
     elif args.command == "text2img":
         out = apps.text_to_image(rt, args.caption, seed=args.seed,
                                  num_inference_steps=args.num_inference_steps)

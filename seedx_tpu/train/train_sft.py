@@ -18,7 +18,6 @@ TPU-native differences:
 from __future__ import annotations
 
 import dataclasses
-import json
 import logging
 import os
 import time
@@ -48,6 +47,11 @@ class RunConfig:
     resume: bool = False
     seed: int = 42
     data_seed_per_epoch: bool = True
+    # metric trackers (reference: train_seed_x_sft.py:147-156 log_with=
+    # ['tensorboard', 'wandb']); jsonl is the tracker-agnostic record,
+    # tensorboard events land under <output_dir>/tb/
+    trackers: tuple = ("jsonl", "tensorboard")
+    expr_name: str = ""
 
 
 def make_vit_encode(vit: VisionTransformer):
@@ -72,7 +76,6 @@ def train_loop(
 ) -> TrainState:
     mesh = mesh or create_mesh()
     os.makedirs(run_cfg.output_dir, exist_ok=True)
-    metrics_path = os.path.join(run_cfg.output_dir, "metrics.jsonl")
     ckpt = CheckpointManager(os.path.join(run_cfg.output_dir, "checkpoints"))
 
     from jax.sharding import NamedSharding, PartitionSpec, SingleDeviceSharding
@@ -127,7 +130,10 @@ def train_loop(
             # (reference: --gradient_accumulation_steps 2,
             # train_seed_x_sft.py:260-313 accumulate context)
             data_iter = _stack_microbatches(data_iter, accum)
-        with open(metrics_path, "a") as metrics_file:
+        from seedx_tpu.utils.trackers import MetricWriters
+
+        with MetricWriters(run_cfg.output_dir, trackers=run_cfg.trackers,
+                           expr_name=run_cfg.expr_name) as writers:
             for batch in data_iter:
                 step = int(state.step)
                 if step >= train_cfg.max_steps:
@@ -152,12 +158,10 @@ def train_loop(
 
                 if step % run_cfg.log_steps == 0:
                     m = {k: float(v) for k, v in metrics.items()}
-                    m["step"] = step
                     m["steps_per_sec"] = run_cfg.log_steps / max(
                         time.time() - t_last, 1e-9)
                     t_last = time.time()
-                    metrics_file.write(json.dumps(m) + "\n")
-                    metrics_file.flush()
+                    writers.log(m, step)
                     logger.info("step %d: %s", step, m)
                 if step > 0 and step % run_cfg.save_steps == 0:
                     ckpt.save(step, state)
@@ -237,6 +241,13 @@ def main(argv=None):
     p.add_argument("--min_lr_ratio", type=float, default=0.05)
     p.add_argument("--save_steps", type=int, default=1000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--expr_name", default="",
+                   help="experiment name for trackers (reference: "
+                        "--expr_name)")
+    p.add_argument("--trackers", default="jsonl,tensorboard",
+                   help="comma list of metric writers: jsonl, tensorboard, "
+                        "wandb (reference logs to tensorboard+wandb via "
+                        "accelerate, train_seed_x_sft.py:147-156)")
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
     p.add_argument("--parallel", default=None,
                    help="mesh layout YAML (configs/parallel/*.yaml); "
@@ -261,7 +272,10 @@ def main(argv=None):
         min_lr_ratio=args.min_lr_ratio,
         gradient_accumulation_steps=args.gradient_accumulation_steps)
     run_cfg = RunConfig(output_dir=args.output_dir,
-                        save_steps=args.save_steps, resume=args.resume)
+                        save_steps=args.save_steps, resume=args.resume,
+                        trackers=tuple(
+                            t for t in args.trackers.split(",") if t),
+                        expr_name=args.expr_name)
     mesh = (config_lib.instantiate_from_file(args.parallel)
             if args.parallel else None)
     train_loop(agent, agent_params, vit, vit_params, data_iter, train_cfg,

@@ -60,6 +60,22 @@ def test_box_extraction_and_scaling():
     assert prompts.extract_boxes("no boxes") is None
 
 
+def test_draw_boxes_renders_rectangles():
+    """Grounding renders predicted boxes onto the image (reference:
+    eval_img2text_seed_x_i.py:16-36,228-231)."""
+    from PIL import Image
+
+    from seedx_tpu.inference.apps import draw_boxes
+
+    img = Image.new("RGB", (448, 448), (0, 0, 0))
+    vis = draw_boxes(img, [(168, 168, 280, 280)])
+    arr = np.asarray(vis)
+    assert tuple(arr[168, 224]) == (0, 255, 0)      # top edge
+    assert tuple(arr[224, 168]) == (0, 255, 0)      # left edge
+    assert tuple(arr[224, 224]) == (0, 0, 0)        # interior untouched
+    assert np.asarray(img).sum() == 0               # input not mutated
+
+
 def test_strip_markup():
     assert prompts.strip_markup("a<img>b</img>c<loc-3>") == "abc"
 

@@ -100,6 +100,12 @@ def test_full_train_loop_with_resume(tmp_path):
                open(tmp_path / "run" / "metrics.jsonl")]
     assert len(metrics) >= 2
     assert np.isfinite(metrics[-1]["total_loss"])
+    # tensorboard tracker wrote event files next to the jsonl (reference:
+    # train_seed_x_sft.py:147-156 log_with=['tensorboard', 'wandb'])
+    tb_dir = tmp_path / "run" / "tb"
+    assert tb_dir.is_dir()
+    assert any(f.name.startswith("events.out.tfevents")
+               for f in tb_dir.iterdir())
 
     # resume continues from the saved step
     train_cfg2 = TrainConfig(learning_rate=1e-3, warmup_steps=0, max_steps=5,
@@ -159,3 +165,23 @@ def test_train_loop_gradient_accumulation(tmp_path):
     state = train_loop(agent, agent_params, vit, vit_params, data,
                        train_cfg, run_cfg, mesh=create_mesh())
     assert int(state.step) == 2
+
+
+def test_metric_writers_jsonl_and_tensorboard(tmp_path):
+    """MetricWriters fans one log() out to metrics.jsonl + tb events and
+    survives unknown tracker names / non-scalar values."""
+    import json as _json
+
+    from seedx_tpu.utils.trackers import MetricWriters
+
+    with MetricWriters(str(tmp_path), trackers=("jsonl", "tensorboard",
+                                                "nosuch")) as w:
+        w.log({"loss": 1.5, "lr": 1e-4}, step=0)
+        w.log({"loss": 1.25, "note": "not-a-scalar"}, step=10)
+
+    recs = [_json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert [r["step"] for r in recs] == [0, 10]
+    assert recs[1]["note"] == "not-a-scalar"   # jsonl keeps everything
+
+    tb_files = list((tmp_path / "tb").iterdir())
+    assert tb_files and tb_files[0].stat().st_size > 0
