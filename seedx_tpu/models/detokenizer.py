@@ -52,9 +52,9 @@ class PerceiverAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, latents: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
         inner = cfg.dim_head * cfg.heads
-        x = PLayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        x = PLayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                        name="norm1")(x)
-        latents = PLayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        latents = PLayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                              name="norm2")(latents)
         b, l, _ = latents.shape
 
@@ -87,7 +87,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
-        h = PLayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        h = PLayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                        name="norm")(x)
         h = PDense(cfg.dim * cfg.ff_mult, kernel_axes=("embed", "mlp"),
                    use_bias=False, dtype=cfg.dtype,
@@ -160,9 +160,12 @@ class ResamplerXL(nn.Module):
                                (x.shape[0], cfg.num_queries, cfg.dim))
 
         if cfg.normalize:
-            x = x / jnp.maximum(
-                jnp.linalg.norm(x.astype(jnp.float32), axis=-1,
-                                keepdims=True), 1e-12).astype(x.dtype)
+            # reference: F.normalize(x) with torch's DEFAULT dim=1 — the
+            # l2 norm runs over the TOKEN axis, not the feature axis
+            # (resampler.py:271-272); verified by the torch oracle test
+            xf = x.astype(jnp.float32)
+            norm = jnp.linalg.norm(xf, axis=1, keepdims=True)
+            x = (xf / jnp.maximum(norm, 1e-12)).astype(x.dtype)
         x = PDense(cfg.dim, kernel_axes=("kv", "embed"), dtype=cfg.dtype,
                    param_dtype=cfg.param_dtype, name="proj_in")(x)
 
@@ -170,7 +173,7 @@ class ResamplerXL(nn.Module):
             lat = PerceiverAttention(cfg, name=f"attn_{i}")(x, lat) + lat
             lat = FeedForward(cfg, name=f"ff_{i}")(lat) + lat
 
-        hidden = PLayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        hidden = PLayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
                             name="norm_out")(lat)
         e1 = PDense(cfg.output1_dim, kernel_axes=("embed", "mlp"),
                     dtype=cfg.dtype, param_dtype=cfg.param_dtype,

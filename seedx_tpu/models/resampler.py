@@ -40,20 +40,58 @@ def sincos_2d_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
         out = np.einsum("m,d->md", coords.reshape(-1), omega)
         return np.concatenate([np.sin(out), np.cos(out)], axis=1)
 
-    emb_h = embed_1d(embed_dim // 2, grid_h)
+    # first half encodes the w meshgrid, second the h meshgrid — the
+    # reference's emb_h is (misleadingly) built from grid[0] == the w grid
+    # (qwen_visual.py:62-70 with grid = np.meshgrid(grid_w, grid_h));
+    # verified against the imported reference in tests/test_image_oracles.py
     emb_w = embed_1d(embed_dim // 2, grid_w)
-    return np.concatenate([emb_h, emb_w], axis=1)  # [g*g, D]
+    emb_h = embed_1d(embed_dim // 2, grid_h)
+    return np.concatenate([emb_w, emb_h], axis=1)  # [g*g, D]
+
+
+def _torch_bicubic_matrix(src: int, tgt: int) -> np.ndarray:
+    """[tgt, src] interpolation matrix reproducing torch's
+    ``F.interpolate(mode="bicubic", align_corners=False)`` exactly: cubic
+    convolution kernel a = -0.75 at half-pixel sample centers with
+    edge-clamped taps and NO antialias widening (torch's default) — both
+    unlike ``jax.image.resize`` (Keys a = -0.5, antialiased downsampling).
+    Built once per (src, tgt) at trace time; the resize is then one matmul
+    per axis."""
+    a = -0.75
+
+    def k(d):
+        d = abs(d)
+        if d <= 1.0:
+            return (a + 2.0) * d ** 3 - (a + 3.0) * d ** 2 + 1.0
+        if d < 2.0:
+            return a * d ** 3 - 5.0 * a * d ** 2 + 8.0 * a * d - 4.0 * a
+        return 0.0
+
+    scale = src / tgt
+    w = np.zeros((tgt, src), np.float64)
+    for i in range(tgt):
+        x = (i + 0.5) * scale - 0.5
+        x0 = math.floor(x)
+        t = x - x0
+        for j, d in ((x0 - 1, t + 1.0), (x0, t), (x0 + 1, 1.0 - t),
+                     (x0 + 2, 2.0 - t)):
+            w[i, min(max(j, 0), src - 1)] += k(d)
+    return w.astype(np.float32)
 
 
 def resize_pos_embed(pos: jnp.ndarray, tgt_tokens: int) -> jnp.ndarray:
     """Resize a square [src_tokens, dim] table to [tgt_tokens, dim]
-    (reference ``get_abs_pos``, qwen_visual.py:24-40; bicubic)."""
+    (reference ``get_abs_pos``, qwen_visual.py:24-40: torch bicubic,
+    align_corners=False; kernel parity verified by the imported-reference
+    oracle in tests/test_image_oracles.py)."""
     src_size = int(math.isqrt(pos.shape[0]))
     tgt_size = int(math.isqrt(tgt_tokens))
     if src_size == tgt_size:
         return pos
     grid = pos.reshape(src_size, src_size, -1).astype(jnp.float32)
-    out = jax.image.resize(grid, (tgt_size, tgt_size, grid.shape[-1]), method="bicubic")
+    w = jnp.asarray(_torch_bicubic_matrix(src_size, tgt_size))
+    rows = jnp.einsum("ts,shc->thc", w, grid)     # resize axis 0
+    out = jnp.einsum("ts,hsc->htc", w, rows)      # resize axis 1
     return out.reshape(tgt_size * tgt_size, -1).astype(pos.dtype)
 
 

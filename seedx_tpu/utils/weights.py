@@ -111,7 +111,20 @@ def convert_resampler(sd: StateDict, prefix: str = "") -> Dict:
     return out
 
 
-def convert_qwen_vit(sd: StateDict, num_layers: int = 48) -> Dict:
+def _deinterleave_qkv(w: np.ndarray, heads: int) -> np.ndarray:
+    """Reference ``VisualAttention.in_proj`` packs its output rows PER HEAD
+    as [q_h | k_h | v_h] (qwen_visual.py:186-196: view to [s,b,heads,3*hd]
+    then split) — NOT torch-MHA's [all-q | all-k | all-v].  Re-order rows to
+    the standard packed layout our block's ``jnp.split(qkv, 3)`` expects."""
+    e3 = w.shape[0]
+    hd = e3 // (3 * heads)
+    grouped = w.reshape(heads, 3, hd, *w.shape[1:])
+    return np.ascontiguousarray(
+        grouped.transpose(1, 0, *range(2, grouped.ndim))).reshape(w.shape)
+
+
+def convert_qwen_vit(sd: StateDict, num_layers: int = 48,
+                     num_heads: int = 16) -> Dict:
     """qwen_vit_G.pt -> VisionTransformer params (stacked scan layout)."""
     out: Dict[str, Any] = {
         "conv1": {"kernel": _np(sd["conv1.weight"]).transpose(2, 3, 1, 0)},
@@ -131,8 +144,10 @@ def convert_qwen_vit(sd: StateDict, num_layers: int = 48) -> Dict:
         "ln_2": {"scale": stack(lambda i: _np(sd[blk.format(i) + "ln_2.weight"])),
                  "bias": stack(lambda i: _np(sd[blk.format(i) + "ln_2.bias"]))},
         "in_proj": {
-            "kernel": stack(lambda i: _np(sd[blk.format(i) + "attn.in_proj.weight"]).T),
-            "bias": stack(lambda i: _np(sd[blk.format(i) + "attn.in_proj.bias"])),
+            "kernel": stack(lambda i: _deinterleave_qkv(
+                _np(sd[blk.format(i) + "attn.in_proj.weight"]), num_heads).T),
+            "bias": stack(lambda i: _deinterleave_qkv(
+                _np(sd[blk.format(i) + "attn.in_proj.bias"]), num_heads)),
         },
         "out_proj": {
             "kernel": stack(lambda i: _np(sd[blk.format(i) + "attn.out_proj.weight"]).T),
