@@ -253,7 +253,10 @@ class Transformer2D(nn.Module):
         cfg = self.cfg
         b, h, w, c = x.shape
         residual = x
-        hidden = group_norm(cfg, "norm")(x)
+        # diffusers Transformer2DModel's GroupNorm uses eps 1e-6 (unlike the
+        # resnets' 1e-5) — verified by the torch oracle test
+        hidden = GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
+                           param_dtype=cfg.param_dtype, name="norm")(x)
         hidden = hidden.reshape(b, h * w, c)
         hidden = nn.Dense(self.channels, dtype=cfg.dtype,
                           param_dtype=cfg.param_dtype, name="proj_in")(hidden)

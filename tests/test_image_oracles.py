@@ -113,3 +113,125 @@ def test_pos_embed_resize_matches_reference_bicubic():
 
         got = np.asarray(resize_pos_embed(jnp.asarray(table.numpy()), tgt))
         assert _maxdiff(got, expected) < 1e-4, tgt
+
+
+# ---------------------------------------------------------------------------
+# SDXL UNet / VAE vs the independent torch oracle (tests/torch_sdxl_oracle.py)
+# ---------------------------------------------------------------------------
+
+def _unet_pair(torch_kwargs, flax_overrides, in_ch=4, h=16, w=16, tokens=8,
+               widen=None, seed=0):
+    import torch_sdxl_oracle as O
+    from seedx_tpu.models.sdxl.unet import UNet2DCondition, UNetConfig
+    from seedx_tpu.utils.sdxl_weights import convert_sdxl_unet
+
+    torch.manual_seed(seed)
+    ref = O.UNet2DConditionModel(**torch_kwargs).eval()
+    pooled_dim = (torch_kwargs["projection_class_embeddings_input_dim"]
+                  - 6 * torch_kwargs["addition_time_embed_dim"])
+    sample = torch.randn(2, in_ch, h, w)
+    ctx = torch.randn(2, tokens, torch_kwargs["cross_attention_dim"])
+    te = torch.randn(2, pooled_dim)
+    tids = torch.tensor([[512.0, 512.0, 0.0, 0.0, 512.0, 512.0]] * 2)
+    tstep = torch.tensor(441.0)
+    with torch.no_grad():
+        expected = ref(sample, tstep, ctx, te, tids).numpy()
+
+    params = convert_sdxl_unet(
+        ref.state_dict(),
+        block_out_channels=torch_kwargs["block_out_channels"],
+        layers_per_block=torch_kwargs["layers_per_block"],
+        transformer_layers=torch_kwargs["transformer_layers"],
+        widen_conv_in_to=widen)
+    cfg = UNetConfig(dtype=jnp.float32, **flax_overrides)
+    nhwc = sample.permute(0, 2, 3, 1).numpy()
+    if widen:
+        nhwc = np.concatenate(
+            [nhwc, np.random.RandomState(1).randn(
+                2, h, w, widen - in_ch).astype(np.float32)], axis=-1)
+    out = UNet2DCondition(cfg).apply(
+        {"params": params}, jnp.asarray(nhwc), jnp.float32(441.0),
+        jnp.asarray(ctx.numpy()), jnp.asarray(te.numpy()),
+        jnp.asarray(tids.numpy()))
+    return np.asarray(out).transpose(0, 3, 1, 2), expected
+
+
+_DEBUG_TORCH = dict(block_out_channels=(32, 64), layers_per_block=2,
+                    transformer_layers=(0, 1), cross_attention_dim=64,
+                    attention_head_dim=32, groups=8,
+                    addition_time_embed_dim=32,
+                    projection_class_embeddings_input_dim=32 * 6 + 64)
+_DEBUG_FLAX = dict(block_out_channels=(32, 64), transformer_layers=(0, 1),
+                   cross_attention_dim=64, attention_head_dim=32,
+                   norm_num_groups=8, addition_time_embed_dim=32,
+                   projection_class_embeddings_input_dim=32 * 6 + 64)
+
+
+def test_sdxl_unet_matches_torch_oracle_debug():
+    out, expected = _unet_pair(_DEBUG_TORCH, _DEBUG_FLAX)
+    assert np.max(np.abs(out - expected)) < 5e-4
+
+
+def test_sdxl_unet_edit_widening_matches_base_on_zero_channels():
+    """conv_in widened 4->8 with zero-init new channels must reproduce the
+    base UNet regardless of what sits in channels 4..8 (the Edit surgery,
+    reference: adapter_modules.py:183-209)."""
+    out, expected = _unet_pair(_DEBUG_TORCH,
+                               dict(_DEBUG_FLAX, in_channels=8), widen=8)
+    assert np.max(np.abs(out - expected)) < 5e-4
+
+
+@pytest.mark.slow
+def test_sdxl_unet_matches_torch_oracle_base_geometry():
+    """Full SDXL base geometry (320/640/1280, depths 0/2/10, ctx 2048) at
+    small spatial dims — verifies the converter's key schema and the model
+    math across every block type at the real channel widths."""
+    torch_kwargs = dict(block_out_channels=(320, 640, 1280),
+                        layers_per_block=2, transformer_layers=(0, 2, 10),
+                        cross_attention_dim=2048, attention_head_dim=64,
+                        groups=32, addition_time_embed_dim=256,
+                        projection_class_embeddings_input_dim=2816)
+    flax_overrides = dict()
+    out, expected = _unet_pair(torch_kwargs, flax_overrides, tokens=16)
+    scale = np.abs(expected).max()
+    assert np.max(np.abs(out - expected)) < 2e-3 * max(scale, 1.0)
+
+
+def _vae_pair(channels, groups, img=32, seed=3):
+    import torch_sdxl_oracle as O
+    from seedx_tpu.models.sdxl.vae import VAEConfig, VAEDecoder, VAEEncoder
+    from seedx_tpu.utils.sdxl_weights import convert_sdxl_vae
+
+    torch.manual_seed(seed)
+    ref = O.AutoencoderKL(channels=channels, groups=groups).eval()
+    x = torch.randn(1, 3, img, img)
+    factor = 2 ** (len(channels) - 1)
+    z = torch.randn(1, 4, img // factor, img // factor)
+    with torch.no_grad():
+        exp_moments = ref.encode_moments(x).numpy()
+        exp_decode = ref.decode(z).numpy()
+
+    params = convert_sdxl_vae(ref.state_dict(), channels=channels)
+    cfg = VAEConfig(channels=channels, norm_num_groups=groups)
+    moments = VAEEncoder(cfg).apply(
+        {"params": params["encoder"]},
+        jnp.asarray(x.permute(0, 2, 3, 1).numpy()))
+    decoded = VAEDecoder(cfg).apply(
+        {"params": params["decoder"]},
+        jnp.asarray(z.permute(0, 2, 3, 1).numpy()))
+    return (np.asarray(moments).transpose(0, 3, 1, 2), exp_moments,
+            np.asarray(decoded).transpose(0, 3, 1, 2), exp_decode)
+
+
+def test_sdxl_vae_matches_torch_oracle_debug():
+    moments, exp_m, dec, exp_d = _vae_pair((16, 32), groups=8)
+    assert np.max(np.abs(moments - exp_m)) < 5e-4
+    assert np.max(np.abs(dec - exp_d)) < 5e-4
+
+
+@pytest.mark.slow
+def test_sdxl_vae_matches_torch_oracle_base_geometry():
+    moments, exp_m, dec, exp_d = _vae_pair((128, 256, 512, 512), groups=32,
+                                           img=64)
+    assert np.max(np.abs(moments - exp_m)) < 2e-3
+    assert np.max(np.abs(dec - exp_d)) < 2e-3
