@@ -30,14 +30,27 @@ def _load_file(name: str, path: str):
     return mod
 
 
-def _ensure_stub(name: str, **attrs):
-    if name in sys.modules:
-        return sys.modules[name]
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
-    return mod
+class _Stubs:
+    """Temporarily inject stub modules; ALWAYS remove them afterwards —
+    a lingering fake ``torchvision`` makes transformers think the real
+    package is importable and breaks unrelated tests in the same session."""
+
+    def __init__(self):
+        self.added = []
+
+    def add(self, name: str, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        self.added.append(name)
+        return mod
+
+    def cleanup(self):
+        for name in self.added:
+            sys.modules.pop(name, None)
 
 
 def load_reference_detok_resampler():
@@ -48,25 +61,34 @@ def load_reference_detok_resampler():
 
 def load_reference_qwen_visual():
     """reference: src/models/tokenizer/qwen_visual.py with torchvision and
-    the deepspeed-importing checkpoint util stubbed out."""
+    the deepspeed-importing checkpoint util stubbed out (stubs removed from
+    sys.modules again once the module is loaded)."""
+    if "ref_qwen_visual" in sys.modules:
+        return sys.modules["ref_qwen_visual"]
+
     class _InterpolationMode:
         BICUBIC = "bicubic"
 
-    transforms = _ensure_stub(
-        "torchvision.transforms",
-        InterpolationMode=_InterpolationMode,
-        Compose=lambda *a, **k: (lambda x: x),
-        Resize=lambda *a, **k: None,
-        ToTensor=lambda *a, **k: None,
-        Normalize=lambda *a, **k: None)
-    _ensure_stub("torchvision", transforms=transforms)
+    stubs = _Stubs()
+    try:
+        transforms = stubs.add(
+            "torchvision.transforms",
+            InterpolationMode=_InterpolationMode,
+            Compose=lambda *a, **k: (lambda x: x),
+            Resize=lambda *a, **k: None,
+            ToTensor=lambda *a, **k: None,
+            Normalize=lambda *a, **k: None)
+        stubs.add("torchvision", transforms=transforms)
 
-    _ensure_stub("src")
-    _ensure_stub("src.models")
-    _ensure_stub("src.models.mllm")
-    _ensure_stub(
-        "src.models.mllm.utils",
-        load_zero3_checkpoint=lambda module, sd, **k:
-            module.load_state_dict(sd))
+        stubs.add("src")
+        stubs.add("src.models")
+        stubs.add("src.models.mllm")
+        stubs.add(
+            "src.models.mllm.utils",
+            load_zero3_checkpoint=lambda module, sd, **k:
+                module.load_state_dict(sd))
 
-    return _load_file("ref_qwen_visual", f"{REF_MODELS}/tokenizer/qwen_visual.py")
+        return _load_file("ref_qwen_visual",
+                          f"{REF_MODELS}/tokenizer/qwen_visual.py")
+    finally:
+        stubs.cleanup()
