@@ -69,7 +69,8 @@ def bench_vit_encode(batch_size: int = 16, iters: int = 10, warmup: int = 2):
 def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
                      decode_steps: int = 128, num_layers: int = 40,
                      kv_quantization: str = "none",
-                     quantization: str = "int8"):
+                     quantization: str = "int8",
+                     scan_layers: bool = True):
     """Greedy decode tokens/sec on the full 13B geometry, quantized weights."""
     import numpy as np
     from flax import linen as nn
@@ -78,7 +79,7 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
                                         llama2_13b)
 
     cfg = llama2_13b(quantization=quantization, num_layers=num_layers,
-                     kv_quantization=kv_quantization,
+                     kv_quantization=kv_quantization, scan_layers=scan_layers,
                      param_dtype=jnp.bfloat16, remat=False)
     model = LlamaForCausalLM(cfg)
 

@@ -80,6 +80,28 @@ class SDXLAdapter:
         self.mesh = None                  # set by .shard()
         self.rules = None
 
+    # ---- serving quantization -------------------------------------------
+
+    def quantize_unet(self) -> "SDXLAdapter":
+        """Switch the UNet to int8 weight-only serving (in place).
+
+        Halves the 2.6B UNet's HBM footprint so the full image stack
+        co-resides with the quantized LLM on one 16G chip.  Call before
+        ``.shard()``/``generate``; no reference counterpart (it serves
+        fp16, eval_text2img_seed_x_i.py:59-64)."""
+        from seedx_tpu.utils.quantize import quantize_unet_params
+
+        if self.cfg.unet.quantize == "int8":
+            return self
+        self.cfg = dataclasses.replace(
+            self.cfg, unet=dataclasses.replace(self.cfg.unet,
+                                               quantize="int8"))
+        self.unet = UNet2DCondition(self.cfg.unet)
+        self.unet_params = jax.tree.map(
+            jnp.asarray, quantize_unet_params(
+                jax.tree.map(np.asarray, self.unet_params)))
+        return self
+
     # ---- SPMD placement ------------------------------------------------------
 
     def shard(self, mesh, rules=None) -> "SDXLAdapter":

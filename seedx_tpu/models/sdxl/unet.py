@@ -57,6 +57,12 @@ class UNetConfig:
     addition_time_embed_dim: int = 256
     projection_class_embeddings_input_dim: int = 2816
     norm_num_groups: int = 32
+    # "int8": every block Dense/Conv kernel is stored int8 with per-output
+    # fp32 scales (utils/quantize.quantize_unet_params builds the tree) —
+    # halves the 2.6B UNet's HBM footprint (5.2 -> 2.6 GB) so the denoise
+    # can co-reside with the VAE/LLM on one 16G chip.  Time/added-cond
+    # embeds and conv_in/conv_out stay high precision (tiny, sensitive).
+    quantize: str = "none"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -154,6 +160,73 @@ class LayerNorm(nn.Module):
         return layer_norm_fp32_stats(x, scale, bias, self.epsilon)
 
 
+class Dense8(nn.Module):
+    """int8 weight-only Dense: kernel_q int8 + per-output fp32 scale; dequant
+    fuses into the matmul (same layout as LoRADense's int8 path)."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kq = self.param("kernel_q", nn.initializers.zeros_init(),
+                        (x.shape[-1], self.features), jnp.int8)
+        ks = self.param("kernel_scale", nn.initializers.ones_init(),
+                        (self.features,), jnp.float32)
+        w = kq.astype(self.dtype) * ks.astype(self.dtype)[None, :]
+        y = jnp.dot(x.astype(self.dtype), w)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Conv8(nn.Module):
+    """int8 weight-only 2D conv (NHWC): kernel_q int8 [kh, kw, in, out] +
+    per-output fp32 scale."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kq = self.param("kernel_q", nn.initializers.zeros_init(),
+                        (kh, kw, x.shape[-1], self.features), jnp.int8)
+        ks = self.param("kernel_scale", nn.initializers.ones_init(),
+                        (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        w = kq.astype(self.dtype) * ks.astype(self.dtype)
+        pad = [(self.padding, self.padding)] * 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w, window_strides=self.strides,
+            padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(self.dtype)
+
+
+def _dense(cfg: "UNetConfig", features: int, name: str,
+           use_bias: bool = True):
+    if cfg.quantize == "int8":
+        return Dense8(features, use_bias=use_bias, dtype=cfg.dtype, name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=cfg.dtype,
+                    param_dtype=cfg.param_dtype, name=name)
+
+
+def _conv(cfg: "UNetConfig", features: int, kernel_size, name: str,
+          strides=(1, 1), padding: int = 1):
+    if cfg.quantize == "int8":
+        return Conv8(features, kernel_size, strides=strides, padding=padding,
+                     dtype=cfg.dtype, name=name)
+    return nn.Conv(features, kernel_size, strides=strides, padding=padding,
+                   dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
+
+
 class ResnetBlock(nn.Module):
     out_channels: int
     cfg: UNetConfig
@@ -163,19 +236,15 @@ class ResnetBlock(nn.Module):
         cfg = self.cfg
         h = group_norm(cfg, "norm1")(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype, name="conv1")(h)
-        t = nn.Dense(self.out_channels, dtype=cfg.dtype,
-                     param_dtype=cfg.param_dtype,
-                     name="time_emb_proj")(nn.silu(temb))
+        h = _conv(cfg, self.out_channels, (3, 3), "conv1")(h)
+        t = _dense(cfg, self.out_channels, "time_emb_proj")(nn.silu(temb))
         h = h + t[:, None, None, :]
         h = group_norm(cfg, "norm2")(h)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=cfg.dtype,
-                    param_dtype=cfg.param_dtype, name="conv2")(h)
+        h = _conv(cfg, self.out_channels, (3, 3), "conv2")(h)
         if x.shape[-1] != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), dtype=cfg.dtype,
-                        param_dtype=cfg.param_dtype, name="conv_shortcut")(x)
+            x = _conv(cfg, self.out_channels, (1, 1), "conv_shortcut",
+                      padding=0)(x)
         return x + h
 
 
@@ -191,12 +260,9 @@ class CrossAttention(nn.Module):
         heads = self.query_dim // cfg.attention_head_dim
         inner = self.query_dim
 
-        q = nn.Dense(inner, use_bias=False, dtype=cfg.dtype,
-                     param_dtype=cfg.param_dtype, name="to_q")(x)
-        k = nn.Dense(inner, use_bias=False, dtype=cfg.dtype,
-                     param_dtype=cfg.param_dtype, name="to_k")(context)
-        v = nn.Dense(inner, use_bias=False, dtype=cfg.dtype,
-                     param_dtype=cfg.param_dtype, name="to_v")(context)
+        q = _dense(cfg, inner, "to_q", use_bias=False)(x)
+        k = _dense(cfg, inner, "to_k", use_bias=False)(context)
+        v = _dense(cfg, inner, "to_v", use_bias=False)(context)
 
         def split(t):
             return t.reshape(*t.shape[:-1], heads, cfg.attention_head_dim)
@@ -207,8 +273,7 @@ class CrossAttention(nn.Module):
         # (kv = 64 image-feature tokens, not 128-aligned) stays on XLA.
         out = dot_product_attention(split(q), split(k), split(v), impl="auto")
         out = out.reshape(*x.shape[:-1], inner)
-        return nn.Dense(self.query_dim, dtype=cfg.dtype,
-                        param_dtype=cfg.param_dtype, name="to_out")(out)
+        return _dense(cfg, self.query_dim, "to_out")(out)
 
 
 class GEGLU(nn.Module):
@@ -217,8 +282,7 @@ class GEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Dense(self.dim_out * 2, dtype=self.cfg.dtype,
-                     param_dtype=self.cfg.param_dtype, name="proj")(x)
+        h = _dense(self.cfg, self.dim_out * 2, "proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
         return h * nn.gelu(gate, approximate=False)
 
@@ -238,8 +302,7 @@ class BasicTransformerBlock(nn.Module):
                                name="attn2")(h, context)
         h = ln("norm3")(x)
         h = GEGLU(self.dim * 4, cfg, name="ff_geglu")(h)
-        x = x + nn.Dense(self.dim, dtype=cfg.dtype,
-                         param_dtype=cfg.param_dtype, name="ff_out")(h)
+        x = x + _dense(cfg, self.dim, "ff_out")(h)
         return x
 
 
@@ -258,13 +321,11 @@ class Transformer2D(nn.Module):
         hidden = GroupNorm(num_groups=cfg.norm_num_groups, epsilon=1e-6,
                            param_dtype=cfg.param_dtype, name="norm")(x)
         hidden = hidden.reshape(b, h * w, c)
-        hidden = nn.Dense(self.channels, dtype=cfg.dtype,
-                          param_dtype=cfg.param_dtype, name="proj_in")(hidden)
+        hidden = _dense(cfg, self.channels, "proj_in")(hidden)
         for i in range(self.depth):
             hidden = BasicTransformerBlock(self.channels, cfg,
                                            name=f"block_{i}")(hidden, context)
-        hidden = nn.Dense(self.channels, dtype=cfg.dtype,
-                          param_dtype=cfg.param_dtype, name="proj_out")(hidden)
+        hidden = _dense(cfg, self.channels, "proj_out")(hidden)
         return hidden.reshape(b, h, w, c) + residual
 
 
@@ -274,9 +335,8 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.channels, (3, 3), strides=(2, 2), padding=1,
-                       dtype=self.cfg.dtype, param_dtype=self.cfg.param_dtype,
-                       name="conv")(x)
+        return _conv(self.cfg, self.channels, (3, 3), "conv",
+                     strides=(2, 2))(x)
 
 
 class Upsample(nn.Module):
@@ -287,8 +347,7 @@ class Upsample(nn.Module):
     def __call__(self, x):
         b, h, w, c = x.shape
         x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
-        return nn.Conv(self.channels, (3, 3), padding=1, dtype=self.cfg.dtype,
-                       param_dtype=self.cfg.param_dtype, name="conv")(x)
+        return _conv(self.cfg, self.channels, (3, 3), "conv")(x)
 
 
 class UNet2DCondition(nn.Module):

@@ -119,3 +119,35 @@ def quantize_llama_params(params: Any, full: bool = False,
 def dequantize_kernel(q: jnp.ndarray, scale: jnp.ndarray,
                       dtype=jnp.bfloat16) -> jnp.ndarray:
     return q.astype(dtype) * scale.astype(dtype)[None, :]
+
+
+# kept high precision in the int8 UNet: tiny and numerically sensitive
+UNET_SKIP_PREFIXES = ("time_embed_1", "time_embed_2", "add_embed_1",
+                      "add_embed_2", "conv_in", "conv_out")
+
+
+def quantize_unet_params(params: Any) -> Any:
+    """Full-precision SDXL UNet tree -> the layout expected by
+    ``UNetConfig(quantize="int8")``: every block Dense/Conv ``kernel``
+    ([in, out] or [kh, kw, in, out]) becomes ``kernel_q`` int8 +
+    ``kernel_scale`` fp32[out] (symmetric per-output-channel absmax);
+    biases and norm scales stay fp32; the time/added-cond embeds and
+    conv_in/conv_out stay unquantized (UNET_SKIP_PREFIXES).
+
+    Halves the 2.6B UNet's HBM footprint (5.2 -> 2.6 GB bf16-equivalent);
+    no reference counterpart (it serves the UNet fp16,
+    eval_text2img_seed_x_i.py:59-64)."""
+    flat = traverse_util.flatten_dict(params, sep="/")
+    out = {}
+    for k, v in flat.items():
+        parts = k.split("/")
+        base = "/".join(parts[:-1])
+        if parts[-1] == "kernel" and parts[0] not in UNET_SKIP_PREFIXES:
+            w = np.asarray(v, np.float32)
+            lead = w.shape[:-1]
+            q, scale = quantize_kernel(w.reshape(-1, w.shape[-1]))
+            out[base + "/kernel_q"] = q.reshape(*lead, w.shape[-1])
+            out[base + "/kernel_scale"] = scale
+        else:
+            out[k] = v
+    return traverse_util.unflatten_dict(out, sep="/")

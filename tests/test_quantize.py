@@ -276,3 +276,60 @@ def test_int4_pallas_kernel_prefill_rows():
     rms = float(np.sqrt(np.mean(ref ** 2)))
     assert np.mean(np.abs(out - ref)) < 0.02 * rms
     assert np.max(np.abs(out - ref)) < 0.1 * rms
+
+
+def test_int8_unet_matches_fp():
+    """UNetConfig(quantize='int8') + quantize_unet_params: eps prediction
+    close to the fp UNet (serving path for the 2.6B UNet; the LLM already
+    has this ladder, PARITY row 28)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seedx_tpu.models.sdxl.unet import UNet2DCondition, sdxl_debug_unet
+    from seedx_tpu.utils.quantize import quantize_unet_params
+
+    ucfg = sdxl_debug_unet(dtype=jnp.float32)
+    unet = UNet2DCondition(ucfg)
+    rng = jax.random.PRNGKey(0)
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    lat = jax.random.normal(rng, (2, 16, 16, 4))
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (2, 8, ucfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (2, pooled_dim))
+    tids = jnp.asarray([[512.0, 512.0, 0.0, 0.0, 512.0, 512.0]] * 2)
+    params = unet.init(rng, lat, jnp.array([3.0, 3.0]), ctx, pooled,
+                       tids)["params"]
+    ref = unet.apply({"params": params}, lat, jnp.array([3.0, 3.0]), ctx,
+                     pooled, tids)
+
+    import dataclasses
+
+    qcfg = dataclasses.replace(ucfg, quantize="int8")
+    qparams = quantize_unet_params(jax.tree.map(np.asarray, params))
+    out = UNet2DCondition(qcfg).apply({"params": qparams}, lat,
+                                      jnp.array([3.0, 3.0]), ctx, pooled,
+                                      tids)
+    rel = (np.linalg.norm(np.asarray(out - ref))
+           / np.linalg.norm(np.asarray(ref)))
+    assert rel < 0.05, rel
+
+
+def test_adapter_quantize_unet_generates():
+    """SDXLAdapter.quantize_unet(): the full generate path runs and stays
+    close to the fp adapter's output."""
+    import numpy as np
+
+    from seedx_tpu.inference import SeedXRuntime
+
+    rt = SeedXRuntime.debug(with_adapter=True)
+    feats = np.random.RandomState(0).randn(
+        1, rt.agent_cfg.num_img_out_tokens, rt.agent_cfg.vit_dim
+    ).astype(np.float32)
+    ref = rt.adapter.generate(feats, seed=1, num_inference_steps=2)
+    rt.adapter.quantize_unet()
+    out = rt.adapter.generate(feats, seed=1, num_inference_steps=2)
+    assert out.shape == ref.shape
+    # decoded pixels in [0,1]; int8 weight rounding stays visually identical
+    assert np.mean(np.abs(np.asarray(out) - np.asarray(ref))) < 0.05
