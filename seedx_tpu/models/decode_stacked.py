@@ -1,0 +1,151 @@
+"""Single-token decode layer loop over scan-stacked int4 weights.
+
+Why this exists: ``LlamaModel`` runs its blocks under ``nn.scan``, which
+dynamic-slices each layer's parameters out of the stacked arrays per
+iteration.  For bf16/int8 weights XLA fuses that slice into the consuming
+matmul, but the int4 path's Pallas kernel is a *custom call* — its operands
+must be dense HBM buffers, so the slice materialises a fresh copy of every
+packed block before every kernel launch.  Measured on the 13B geometry that
+copy costs more than the matmuls themselves (~16 us per 13 MB block), and
+B=1 decode lands at ~42% of the int4 weight-stream roofline (VERDICT r1 #4).
+
+This module replaces the scan with a ``lax.fori_loop`` whose matmuls call
+``ops.int4_matmul.int4_matmul_stacked``: the layer index rides into the
+kernel as a scalar-prefetch argument and the BlockSpec index_map points the
+pipeline's DMAs straight at layer ``li`` of the stacked array — the packed
+bytes stream HBM->VMEM exactly once, no intermediate copy (measured 1.5x
+on the full 13B layer loop, scratch/stacked_micro.py).
+
+Semantics mirror ``models/llama.LlamaBlock`` for the seq==1 cached path
+exactly (store-then-attend, int8 or bf16 KV cache, scalar or per-row cache
+offsets, optional LoRA deltas); ``tests/test_quantize.py`` pins parity
+against the nn.scan path.  Prefill and training keep the flax path.
+
+Reference parity context: the reference serves fp16 with HF generate
+(src/inference/eval_img2text_seed_x_i.py:61) — this whole quantized decode
+engine has no reference counterpart.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from seedx_tpu.ops.attention import dot_product_attention
+from seedx_tpu.ops.int4_matmul import int4_matmul_stacked
+from seedx_tpu.ops.norms import rms_norm
+from seedx_tpu.ops.rope import apply_rope
+
+
+def _index(tree_leaf: jnp.ndarray, li: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.dynamic_index_in_dim(tree_leaf, li, keepdims=False)
+
+
+def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
+                          cos: jnp.ndarray, sin: jnp.ndarray,
+                          kv_valid, cache: Tuple[jnp.ndarray, ...],
+                          cache_index, *, interpret: bool = False
+                          ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """Run all decoder layers for ONE token against stacked quantized params.
+
+    Args:
+      cfg: LlamaConfig (quantization == "int4").
+      layer_params: the ``params["layers"]["layer"]`` subtree — every leaf
+        scan-stacked with a leading ``num_layers`` axis.
+      x: [batch, 1, hidden] embeddings.
+      cos/sin: rope tables [batch, 1, head_dim].
+      kv_valid: [batch, kv_len] bool or None.
+      cache: stacked KV cache ([L, b, max_len, f] x2, + scales x2 if int8).
+      cache_index: scalar write offset, or [batch] int32 per-row offsets
+        (continuous batching).
+    Returns:
+      (hidden [batch, 1, hidden], new cache) — same contract as the scan.
+    """
+    b, s, hidden = x.shape
+    assert s == 1, "stacked decode is the seq==1 serving path"
+    nh, hd = cfg.num_kv_heads, cfg.head_dim
+    per_row = getattr(cache_index, "ndim", 0) == 1
+    int8_kv = len(cache) == 4
+
+    def proj(name: str, h2: jnp.ndarray, li: jnp.ndarray) -> jnp.ndarray:
+        p = layer_params[name]
+        packed, scale = p["kernel_q4"], p["kernel_scale"]
+        n_in = h2.shape[-1]
+        group = n_in // scale.shape[1]
+        y = int4_matmul_stacked(h2.astype(cfg.dtype), packed, scale, li,
+                                group=group, interpret=interpret)
+        if "lora_a" in p:
+            a = _index(p["lora_a"], li).astype(cfg.dtype)
+            bm = _index(p["lora_b"], li).astype(cfg.dtype)
+            lscale = cfg.lora_alpha / cfg.lora_rank
+            y = y + lscale * ((h2.astype(cfg.dtype) @ a) @ bm)
+        return y
+
+    def store(buf: jnp.ndarray, val: jnp.ndarray, li: jnp.ndarray
+              ) -> jnp.ndarray:
+        """Write val [b, f] into stacked buf [L, b, max_len, f] at
+        (li, :, cache_index)."""
+        if per_row:
+            return buf.at[li, jnp.arange(b), cache_index].set(
+                val.astype(buf.dtype))
+        return jax.lax.dynamic_update_slice(
+            buf, val[None, :, None].astype(buf.dtype),
+            (li, 0, cache_index, 0))
+
+    def body(li, carry):
+        x2, cache = carry
+        ln1 = _index(layer_params["input_layernorm"]["scale"], li)
+        h = rms_norm(x2.astype(cfg.dtype), ln1.astype(cfg.dtype),
+                     cfg.rms_eps)
+
+        q = proj("q_proj", h, li).reshape(b, 1, cfg.num_heads, hd)
+        k = proj("k_proj", h, li).reshape(b, 1, nh, hd)
+        v = proj("v_proj", h, li).reshape(b, 1, nh, hd)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        if int8_kv:
+            from seedx_tpu.models.llama import quantize_kv
+
+            ck, cv, ks, vs = cache
+            max_len = ck.shape[2]
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            ck = store(ck, kq.reshape(b, nh * hd), li)
+            cv = store(cv, vq.reshape(b, nh * hd), li)
+            ks = store(ks, ksc.reshape(b, nh), li)
+            vs = store(vs, vsc.reshape(b, nh), li)
+            cache = (ck, cv, ks, vs)
+            ckl = (_index(ck, li).reshape(b, max_len, nh, hd).astype(cfg.dtype)
+                   * _index(ks, li).reshape(b, max_len, nh, 1
+                                            ).astype(cfg.dtype))
+            cvl = (_index(cv, li).reshape(b, max_len, nh, hd).astype(cfg.dtype)
+                   * _index(vs, li).reshape(b, max_len, nh, 1
+                                            ).astype(cfg.dtype))
+        else:
+            ck, cv = cache
+            max_len = ck.shape[2]
+            ck = store(ck, k.reshape(b, nh * hd), li)
+            cv = store(cv, v.reshape(b, nh * hd), li)
+            cache = (ck, cv)
+            ckl = _index(ck, li).reshape(b, max_len, nh, hd)
+            cvl = _index(cv, li).reshape(b, max_len, nh, hd)
+
+        attn = dot_product_attention(q, ckl, cvl, kv_valid=kv_valid,
+                                     causal=False, impl="xla")
+        attn = attn.reshape(b, cfg.num_heads * hd)
+        x2 = x2 + proj("o_proj", attn, li).astype(x2.dtype)
+
+        ln2 = _index(layer_params["post_attention_layernorm"]["scale"], li)
+        h = rms_norm(x2.astype(cfg.dtype), ln2.astype(cfg.dtype), cfg.rms_eps)
+        gate = proj("gate_proj", h, li)
+        up = proj("up_proj", h, li)
+        down = proj("down_proj", jax.nn.silu(gate) * up, li)
+        return x2 + down.astype(x2.dtype), cache
+
+    x2, cache = jax.lax.fori_loop(0, cfg.num_layers, body,
+                                  (x.reshape(b, hidden).astype(cfg.dtype),
+                                   cache))
+    return x2.reshape(b, 1, hidden), cache

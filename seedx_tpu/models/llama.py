@@ -56,6 +56,11 @@ class LlamaConfig:
     # serving on one 16G chip)
     quantization: str = "none"
     kv_quantization: str = "none"  # "none" | "int8" KV cache (serving)
+    # int4 seq==1 decode via the stacked-weight Pallas kernel (bypasses the
+    # nn.scan per-layer weight slice; see models/decode_stacked.py).
+    # "auto" = on TPU only; "force" = always (interpret-mode kernel off-TPU,
+    # for parity tests); "never" = keep the scan path.
+    stacked_decode: str = "auto"
     attention_impl: str = "auto"
     remat: bool = True
     scan_layers: bool = True
@@ -285,7 +290,23 @@ class LlamaModel(nn.Module):
         x = inputs_embeds.astype(cfg.dtype)
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
-        if cfg.scan_layers:
+        use_stacked = (
+            cfg.scan_layers and cfg.quantization == "int4"
+            and cache is not None and x.shape[1] == 1
+            and cfg.stacked_decode != "never"
+            and not self.is_initializing()
+            and (cfg.stacked_decode == "force"
+                 or jax.default_backend() == "tpu"))
+        if use_stacked:
+            from seedx_tpu.models.decode_stacked import decode_layers_stacked
+
+            layer_params = nn.meta.unbox(
+                self.variables["params"]["layers"]["layer"])
+            x, new_cache = decode_layers_stacked(
+                cfg, layer_params, x, cos, sin, kv_valid, cache,
+                jnp.asarray(cache_index, jnp.int32),
+                interpret=jax.default_backend() != "tpu")
+        elif cfg.scan_layers:
             block = _ScannedBlock
             # remat is a training-memory tool; the int8 path is serving-only
             # (and int8 leaves break remat's jvp tracing inside scan).

@@ -139,6 +139,66 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     return (out * xa).astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("group", "block_out",
+                                             "interpret"))
+def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
+                        scale: jnp.ndarray, layer: jnp.ndarray,
+                        group: int = 128, block_out: int = 512,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Decode matmul against ONE layer of scan-stacked quantized weights,
+    sliced INSIDE the kernel's pipeline.
+
+    ``packed`` is [L, in//2, out], ``scale`` [L, in//group, out], ``layer``
+    a traced scalar.  A ``lax.scan`` over layers would dynamic-slice the
+    layer's packed block to a fresh HBM buffer before every pallas call
+    (custom-call operands must be dense) — profiling showed that copy
+    costing MORE than the matmuls themselves (~16 us per 13 MB block,
+    tripling decode's weight traffic).  Here the layer index arrives as a
+    scalar-prefetch argument and the BlockSpec index_map points the
+    pipeline's DMAs straight at layer ``layer`` of the stacked array: the
+    packed bytes stream HBM->VMEM exactly once, no intermediate copy.
+
+    Decode-only (rows <= 32 after padding); prefill uses the per-layer
+    kernel via the XLA-sliced path (one slice per 512-token prefill
+    amortises fine)."""
+    rows, n_in = x.shape
+    n_layers, half_in, n_out = packed.shape
+    bo = min(block_out, n_out)
+    assert half_in == n_in // 2 and n_out % bo == 0
+
+    xf = x.astype(jnp.float32)
+    xa = jnp.maximum(jnp.max(jnp.abs(xf), -1, keepdims=True), 1e-8) / 127.0
+    x8 = jnp.round(xf / xa).astype(jnp.int8)
+    br = rows + (-rows) % 32
+    if br != rows:
+        x8 = jnp.pad(x8, ((0, br - rows), (0, 0)))
+
+    def kernel(li_ref, x_ref, p_ref, s_ref, out_ref):
+        del li_ref   # consumed by the index_maps only
+        _kernel(x_ref, p_ref, s_ref, out_ref, group=group, block_out=bo,
+                chunk=chunk)
+
+    chunk = _pick_chunk(n_in, group, bo)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((br, n_out), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_out // bo,),
+            in_specs=[
+                pl.BlockSpec((br, n_in), lambda m, li: (0, 0)),
+                pl.BlockSpec((None, half_in, bo), lambda m, li: (li[0], 0, m)),
+                pl.BlockSpec((None, n_in // group, bo),
+                             lambda m, li: (li[0], 0, m)),
+            ],
+            out_specs=pl.BlockSpec((br, bo), lambda m, li: (0, m)),
+        ),
+        interpret=interpret,
+    )(jnp.asarray(layer, jnp.int32).reshape(1), x8, packed, scale)
+    out = out[:rows] if br != rows else out
+    return (out * xa).astype(x.dtype)
+
+
 def int4_matmul_xla(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
                     group: int = 128) -> jnp.ndarray:
     """Reference/fallback path (CPU tests, prefill): unpack to bf16 and dot.
@@ -158,6 +218,12 @@ def int4_matmul_xla(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     return jnp.dot(x.astype(jnp.bfloat16), w)
 
 
+# Test hook: route int4_matmul_auto through the Pallas kernel (interpret
+# mode off-TPU) instead of the XLA unpack+dot, so CPU parity tests compare
+# identical W4A8 numerics between the per-layer and stacked kernels.
+FORCE_KERNEL = False
+
+
 def int4_matmul_auto(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
                      group: int = 128, block_out: int = 512,
                      max_kernel_rows: int = 2048) -> jnp.ndarray:
@@ -170,8 +236,10 @@ def int4_matmul_auto(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     for d in lead:
         rows *= d
     x2 = x.reshape(rows, x.shape[-1])
-    if jax.default_backend() == "tpu" and rows <= max_kernel_rows:
-        y = int4_matmul(x2, packed, scale, group=group, block_out=block_out)
+    on_tpu = jax.default_backend() == "tpu"
+    if (on_tpu or FORCE_KERNEL) and rows <= max_kernel_rows:
+        y = int4_matmul(x2, packed, scale, group=group, block_out=block_out,
+                        interpret=not on_tpu)
     else:
         y = int4_matmul_xla(x2, packed, scale, group=group)
     return y.reshape(*lead, y.shape[-1])

@@ -333,3 +333,95 @@ def test_adapter_quantize_unet_generates():
     assert out.shape == ref.shape
     # decoded pixels in [0,1]; int8 weight rounding stays visually identical
     assert np.mean(np.abs(np.asarray(out) - np.asarray(ref))) < 0.05
+
+
+def _int4_debug_model(stacked_decode, lora_rank=0, kv_quantization="none"):
+    cfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                      num_heads=4, num_kv_heads=4, quantization="int4",
+                      lora_rank=lora_rank, kv_quantization=kv_quantization,
+                      stacked_decode=stacked_decode, remat=False)
+    return cfg, LlamaForCausalLM(cfg)
+
+
+def _int4_debug_params(model, cfg):
+    from flax import linen as nn
+
+    ids = jnp.zeros((1, 8), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(8), (1, 8))
+    fp_cfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                         num_heads=4, num_kv_heads=4,
+                         lora_rank=cfg.lora_rank, remat=False)
+    fp = LlamaForCausalLM(fp_cfg)
+    params = nn.meta.unbox(fp.init(jax.random.PRNGKey(0), ids, pos,
+                                   method="init_all")["params"])
+    return jax.tree.map(jnp.asarray, quantize_llama_params(
+        jax.tree.map(np.asarray, params), mode="int4"))
+
+
+def _decode_tokens(model, cfg, params, prompt, steps, per_row_offset=False):
+    """Prefill + greedy decode `steps` tokens; returns (tokens, cache)."""
+    from seedx_tpu.models.llama import init_kv_cache
+
+    B, S = prompt.shape
+    total = S + steps
+    cache = init_kv_cache(cfg, B, total)
+    pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+    embeds = model.apply({"params": params}, prompt, method="embed")
+    kv_valid = jnp.arange(total)[None, :] < S
+    logits, _, cache = model.apply({"params": params}, embeds, pos,
+                                   kv_valid, cache, 0)
+    token = jnp.argmax(logits[:, -1], -1).astype(jnp.int32)
+    toks = [token]
+    for t in range(steps - 1):
+        idx = S + t
+        cache_index = (jnp.full((B,), idx, jnp.int32) if per_row_offset
+                       else idx)
+        emb = model.apply({"params": params}, token[:, None], method="embed")
+        kv_valid = jnp.arange(total)[None, :] < idx + 1
+        lg, _, cache = model.apply({"params": params}, emb,
+                                   jnp.full((B, 1), idx), kv_valid, cache,
+                                   cache_index)
+        token = jnp.argmax(lg[:, 0], -1).astype(jnp.int32)
+        toks.append(token)
+    return np.asarray(jnp.stack(toks, 1)), cache
+
+
+def test_stacked_decode_matches_scan(monkeypatch):
+    """The fori_loop + int4_matmul_stacked decode path (decode_stacked.py)
+    is token-exact and cache-exact vs the nn.scan path on the same params.
+
+    Both paths are forced through the W4A8 Pallas kernel (interpret mode on
+    CPU) so the comparison is same-numerics; without the hook the scan path
+    would take the bf16 XLA fallback off-TPU."""
+    from seedx_tpu.ops import int4_matmul as m
+    monkeypatch.setattr(m, "FORCE_KERNEL", True)
+    cfg_n, model_n = _int4_debug_model("never")
+    cfg_f, model_f = _int4_debug_model("force")
+    params = _int4_debug_params(model_n, cfg_n)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 12), 0,
+                                cfg_n.vocab_size)
+    ref_toks, ref_cache = _decode_tokens(model_n, cfg_n, params, prompt, 4)
+    out_toks, out_cache = _decode_tokens(model_f, cfg_f, params, prompt, 4)
+    np.testing.assert_array_equal(ref_toks, out_toks)
+    for r, o in zip(ref_cache, out_cache):
+        np.testing.assert_allclose(np.asarray(r, np.float32),
+                                   np.asarray(o, np.float32), atol=2e-2)
+
+
+def test_stacked_decode_matches_scan_lora_int8kv_perrow(monkeypatch):
+    """Same parity with LoRA deltas, int8 KV cache, and per-row offsets
+    (the continuous-batching decode contract)."""
+    from seedx_tpu.ops import int4_matmul as m
+    monkeypatch.setattr(m, "FORCE_KERNEL", True)
+    cfg_n, model_n = _int4_debug_model("never", lora_rank=4,
+                                       kv_quantization="int8")
+    cfg_f, model_f = _int4_debug_model("force", lora_rank=4,
+                                       kv_quantization="int8")
+    params = _int4_debug_params(model_n, cfg_n)
+    prompt = jax.random.randint(jax.random.PRNGKey(2), (2, 9), 0,
+                                cfg_n.vocab_size)
+    ref_toks, _ = _decode_tokens(model_n, cfg_n, params, prompt, 3,
+                                 per_row_offset=True)
+    out_toks, _ = _decode_tokens(model_f, cfg_f, params, prompt, 3,
+                                 per_row_offset=True)
+    np.testing.assert_array_equal(ref_toks, out_toks)
