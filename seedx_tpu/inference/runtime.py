@@ -76,6 +76,8 @@ class SeedXRuntime:
         lora_rank: int = 32,
         with_latent_image: bool = False,         # Edit variant
         quantization: str = "none",
+        vit_quantization: str = "none",          # "int8" = serving co-residency
+        unet_quantization: str = "none",         # "int8" = serving co-residency
     ) -> "SeedXRuntime":
         """Assemble the full runtime from converted release artifacts
         (the four checkpoints a SEED-X user has on disk; reference
@@ -101,10 +103,15 @@ class SeedXRuntime:
                 with_latent_image=with_latent_image,
                 visual_encoder=vit, visual_encoder_params=vit_params)
 
-        return cls(tokenizer=load_tokenizer(tokenizer_path),
-                   vit_cfg=vit.cfg, vit=vit, vit_params=vit_params,
-                   agent_cfg=agent.cfg, agent=agent,
-                   agent_params=agent_params, adapter=adapter)
+        rt = cls(tokenizer=load_tokenizer(tokenizer_path),
+                 vit_cfg=vit.cfg, vit=vit, vit_params=vit_params,
+                 agent_cfg=agent.cfg, agent=agent,
+                 agent_params=agent_params, adapter=adapter)
+        if vit_quantization == "int8":
+            rt.quantize_vit()
+        if unet_quantization == "int8" and adapter is not None:
+            adapter.quantize_unet()
+        return rt
 
     @classmethod
     def debug(cls, seed: int = 0, with_adapter: bool = False,
@@ -186,6 +193,31 @@ class SeedXRuntime:
                    vit_params=vit_params, agent_cfg=agent_cfg, agent=agent,
                    agent_params=agent_params, adapter=adapter,
                    base_resolution=image_size, vit_down=False)
+
+    def quantize_vit(self) -> "SeedXRuntime":
+        """Switch the visual encoder to int8 trunk weights (in place).
+
+        ViT-bigG drops 3.8 -> 1.9 GB so the full stack (int4 LLM + int8
+        UNet + ViT) co-resides on one 16G chip; encode is compute-bound so
+        throughput is unchanged.  Call before ``.shard()``; no reference
+        counterpart (it serves fp16, eval_img2text_seed_x_i.py:58)."""
+        from flax import linen as nn
+
+        from seedx_tpu.utils.quantize import quantize_vit_params
+
+        if self.vit_cfg.quantization == "int8":
+            return self
+        self.vit_cfg = dataclasses.replace(self.vit_cfg, quantization="int8")
+        remat = self.vit.remat
+        shared = (self.adapter is not None
+                  and self.adapter.visual_encoder is self.vit)
+        self.vit = VisionTransformer(self.vit_cfg, remat=remat)
+        self.vit_params = jax.tree.map(jnp.asarray, quantize_vit_params(
+            jax.tree.map(np.asarray, nn.meta.unbox(self.vit_params))))
+        if shared:
+            self.adapter.visual_encoder = self.vit
+            self.adapter.visual_encoder_params = self.vit_params
+        return self
 
     # ---- SPMD placement ----------------------------------------------------
 

@@ -26,24 +26,42 @@ def _part(init: Initializer, names: Tuple[Optional[str], ...]) -> Initializer:
 
 
 class PDense(nn.Module):
-    """Dense with logical partitioning names on the kernel (and bias)."""
+    """Dense with logical partitioning names on the kernel (and bias).
+
+    ``quantize="int8"`` swaps the kernel for int8 codes + per-output fp32
+    scales (same layout/param names as LoRADense's int8 path; trees built
+    by utils/quantize).  Serving-fit tool: halves weight HBM so the ViT
+    trunk can co-reside with the int4 LLM + int8 UNet on one 16G chip."""
 
     features: int
     kernel_axes: Tuple[Optional[str], Optional[str]]
     use_bias: bool = True
+    quantize: str = "none"            # "none" | "int8"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     kernel_init: Initializer = default_init
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        kernel = self.param(
-            "kernel",
-            _part(self.kernel_init, self.kernel_axes),
-            (x.shape[-1], self.features),
-            self.param_dtype,
-        )
-        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype))
+        if self.quantize == "int8":
+            kernel_q = self.param(
+                "kernel_q",
+                _part(nn.initializers.zeros_init(), self.kernel_axes),
+                (x.shape[-1], self.features), jnp.int8)
+            kernel_scale = self.param(
+                "kernel_scale",
+                _part(nn.initializers.ones_init(), (self.kernel_axes[1],)),
+                (self.features,), jnp.float32)
+            kernel = kernel_q.astype(self.dtype) \
+                * kernel_scale.astype(self.dtype)[None, :]
+        else:
+            kernel = self.param(
+                "kernel",
+                _part(self.kernel_init, self.kernel_axes),
+                (x.shape[-1], self.features),
+                self.param_dtype,
+            ).astype(self.dtype)
+        y = jnp.dot(x.astype(self.dtype), kernel)
         if self.use_bias:
             bias = self.param(
                 "bias",
@@ -250,6 +268,7 @@ class MLP(nn.Module):
     """ViT-style MLP: c_fc -> GELU -> c_proj (reference: qwen_visual.py:253-255)."""
 
     hidden: int
+    quantize: str = "none"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -257,7 +276,9 @@ class MLP(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         dim = x.shape[-1]
         h = PDense(self.hidden, kernel_axes=("embed", "mlp"), dtype=self.dtype,
+                   quantize=self.quantize,
                    param_dtype=self.param_dtype, name="c_fc")(x)
         h = nn.gelu(h, approximate=False)
         return PDense(dim, kernel_axes=("mlp", "embed"), dtype=self.dtype,
+                      quantize=self.quantize,
                       param_dtype=self.param_dtype, name="c_proj")(h)

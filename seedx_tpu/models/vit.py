@@ -46,6 +46,12 @@ class ViTConfig:
     patch_pos: bool = False
     pos_embed_len: int = 256  # stored table; resized to the token grid
     pool_heads: int = 0       # attn-pool heads; 0 -> output_dim // 128
+    # "int8": trunk-block projections stored int8 + per-output fp32 scales
+    # (~97% of the 1.9B params; patchify conv, pos embeds, and the attn-pool
+    # resampler stay high precision).  Serving memory fit: 3.8 -> 1.9 GB so
+    # ViT + int4 LLM + int8 UNet co-reside on one 16G chip.  Encode is
+    # compute-bound (NOTES_r1: at the MXU roofline), so this trades nothing.
+    quantization: str = "none"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
 
@@ -83,6 +89,7 @@ class ViTBlock(nn.Module):
         h = PLayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ln_1")(x)
         qkv = PDense(3 * cfg.width, kernel_axes=("embed", "heads"),
                      dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                     quantize=cfg.quantization,
                      name="in_proj")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         head_dim = cfg.width // cfg.heads
@@ -94,11 +101,12 @@ class ViTBlock(nn.Module):
                                      impl="auto")
         attn = attn.reshape(*x.shape)
         attn = PDense(cfg.width, kernel_axes=("heads", "embed"), dtype=cfg.dtype,
-                      param_dtype=cfg.param_dtype, name="out_proj")(attn)
+                      param_dtype=cfg.param_dtype, quantize=cfg.quantization,
+                      name="out_proj")(attn)
         x = x + attn
         h = PLayerNorm(dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="ln_2")(x)
         x = x + MLP(cfg.mlp_hidden, dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                    name="mlp")(h)
+                    quantize=cfg.quantization, name="mlp")(h)
         return x, None
 
 

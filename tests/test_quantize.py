@@ -425,3 +425,28 @@ def test_stacked_decode_matches_scan_lora_int8kv_perrow(monkeypatch):
     out_toks, _ = _decode_tokens(model_f, cfg_f, params, prompt, 3,
                                  per_row_offset=True)
     np.testing.assert_array_equal(ref_toks, out_toks)
+
+
+def test_int8_vit_matches_fp():
+    """ViTConfig(quantization='int8') + quantize_vit_params: encode close
+    to the fp trunk (serving memory fit; encode itself is compute-bound)."""
+    from flax import linen as nn
+
+    from seedx_tpu.models.vit import VisionTransformer, vit_tiny_debug
+    from seedx_tpu.utils.quantize import quantize_vit_params
+
+    cfg = vit_tiny_debug(image_size=56, dtype=jnp.float32)
+    qcfg = vit_tiny_debug(image_size=56, dtype=jnp.float32,
+                          quantization="int8")
+    model = VisionTransformer(cfg, remat=False)
+    qmodel = VisionTransformer(qcfg, remat=False)
+
+    imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3))
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(1), imgs)["params"])
+    qparams = jax.tree.map(jnp.asarray, quantize_vit_params(
+        jax.tree.map(np.asarray, params)))
+
+    ref = np.asarray(model.apply({"params": params}, imgs), np.float32)
+    out = np.asarray(qmodel.apply({"params": qparams}, imgs), np.float32)
+    rms = float(np.sqrt(np.mean(ref ** 2)))
+    assert np.sqrt(np.mean((ref - out) ** 2)) < 0.05 * rms
