@@ -161,8 +161,13 @@ class LayerNorm(nn.Module):
 
 
 class Dense8(nn.Module):
-    """int8 weight-only Dense: kernel_q int8 + per-output fp32 scale; dequant
-    fuses into the matmul (same layout as LoRADense's int8 path)."""
+    """int8 weight-only Dense: kernel_q int8 + per-output fp32 scale.
+
+    The scale lands on the (small) OUTPUT, not the weight: for per-output-
+    channel s, ``x @ (w*s) == (x @ w) * s`` exactly, and the weight read is
+    then a pure int8->bf16 cast XLA fuses into the matmul's operand stream.
+    The multiply-on-weights form materialised a bf16 weight tensor per eval
+    (+25% denoise time measured at 1024²)."""
 
     features: int
     use_bias: bool = True
@@ -174,8 +179,8 @@ class Dense8(nn.Module):
                         (x.shape[-1], self.features), jnp.int8)
         ks = self.param("kernel_scale", nn.initializers.ones_init(),
                         (self.features,), jnp.float32)
-        w = kq.astype(self.dtype) * ks.astype(self.dtype)[None, :]
-        y = jnp.dot(x.astype(self.dtype), w)
+        y = jnp.dot(x.astype(self.dtype), kq.astype(self.dtype))
+        y = y * ks.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros_init(),
                               (self.features,), jnp.float32)
@@ -185,7 +190,9 @@ class Dense8(nn.Module):
 
 class Conv8(nn.Module):
     """int8 weight-only 2D conv (NHWC): kernel_q int8 [kh, kw, in, out] +
-    per-output fp32 scale."""
+    per-output fp32 scale.  Scale applied to the conv OUTPUT (exact for
+    per-output-channel scales; see Dense8) so the kernel read stays a
+    fusible int8->bf16 cast — no bf16 weight materialisation per eval."""
 
     features: int
     kernel_size: Tuple[int, int]
@@ -202,12 +209,12 @@ class Conv8(nn.Module):
                         (self.features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros_init(),
                           (self.features,), jnp.float32)
-        w = kq.astype(self.dtype) * ks.astype(self.dtype)
         pad = [(self.padding, self.padding)] * 2
         y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), w, window_strides=self.strides,
+            x.astype(self.dtype), kq.astype(self.dtype),
+            window_strides=self.strides,
             padding=pad, dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return y + bias.astype(self.dtype)
+        return y * ks.astype(self.dtype) + bias.astype(self.dtype)
 
 
 def _dense(cfg: "UNetConfig", features: int, name: str,
