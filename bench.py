@@ -146,8 +146,11 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
 
 
 def bench_sdxl_denoise(batch_size: int = 1, steps: int = 10,
-                       height: int = 1024, width: int = 1024):
-    """SDXL-base UNet denoise steps/sec (2-way CFG, 1024x1024, bf16)."""
+                       height: int = 1024, width: int = 1024,
+                       quantize: str = "none"):
+    """SDXL-base UNet denoise steps/sec (2-way CFG, 1024x1024; bf16 or
+    int8 weight-only — the serving-fit config that co-resides with the
+    int4 LLM on one 16G chip)."""
     from flax import linen as nn
 
     from seedx_tpu.models.sdxl.pipeline import (SamplerConfig,
@@ -157,7 +160,7 @@ def bench_sdxl_denoise(batch_size: int = 1, steps: int = 10,
     from seedx_tpu.models.sdxl.scheduler import make_schedule
     from seedx_tpu.models.sdxl.unet import UNet2DCondition, sdxl_base_unet
 
-    cfg = sdxl_base_unet(param_dtype=jnp.bfloat16)
+    cfg = sdxl_base_unet(param_dtype=jnp.bfloat16, quantize=quantize)
     unet = UNet2DCondition(cfg)
     scfg = SamplerConfig(height=height, width=width, num_inference_steps=steps)
     schedule = make_schedule(steps)
@@ -170,10 +173,19 @@ def bench_sdxl_denoise(batch_size: int = 1, steps: int = 10,
     pooled = jax.random.normal(jax.random.PRNGKey(2), (batch_size, 1280),
                                jnp.bfloat16)
     tids = default_time_ids(scfg, batch_size)
-    params = nn.meta.unbox(jax.jit(lambda: unet.init(
+    fp_unet = UNet2DCondition(sdxl_base_unet(param_dtype=jnp.bfloat16))
+    params = nn.meta.unbox(jax.jit(lambda: fp_unet.init(
         jax.random.PRNGKey(0), sample, jnp.array([1.0]), ctx, pooled,
         tids))()["params"])
     jax.block_until_ready(params)
+    if quantize == "int8":
+        import numpy as np
+
+        from seedx_tpu.utils.quantize import quantize_unet_params
+
+        params = jax.tree.map(jnp.asarray, quantize_unet_params(
+            jax.tree.map(np.asarray, params)))
+        jax.block_until_ready(params)
 
     @jax.jit
     def run(params, latents, shift):
@@ -291,6 +303,186 @@ def bench_decode_turn(prompt_len: int = 512, text_steps: int = 9,
     t0 = time.perf_counter()
     for i in range(iters):
         acc = acc * 0 + run(params, prompt, acc.astype(jnp.int32) * 0)
+    float(acc)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
+                       n_img: int = 64, denoise_steps: int = 30,
+                       vit_tiles: int = 5, num_layers: int = 40):
+    """ONE process, every model family resident in HBM at serving
+    quantization — ViT-bigG int8 (1.9G) + 13B LLM int4/int8-KV (~7G) +
+    SDXL UNet int8 (2.6G) + detok resampler + VAE bf16 — running a full
+    image turn back-to-back: anyres-5 ViT encode -> 512-token prefill +
+    9 text steps + forced 64+1 image-span chunk + 1 step -> ResamplerXL ->
+    30-step CFG-2 denoise at 1024 -> VAE decode.  Phases are chained by
+    data dependencies on device, so the reported number is ONE wall-clock
+    turn with no host round-trips — the single-chip serving latency
+    (contrast: the ``e2e_turn`` metric sums phases timed in separate
+    processes because bf16 ViT + UNet don't co-reside with the LLM).
+
+    The LLM consumes plain token embeddings (no agent splice) like
+    bench_decode_turn; the resampler consumes a random 4096-d span stand-in
+    chained on the LLM hidden state.  Both approximations are cheap relative
+    to their phases.
+    """
+    from flax import linen as nn
+
+    from seedx_tpu.models.detokenizer import DetokenizerConfig, ResamplerXL
+    from seedx_tpu.models.llama import (LlamaForCausalLM, init_kv_cache,
+                                        llama2_13b)
+    from seedx_tpu.models.sdxl.pipeline import (SamplerConfig,
+                                                default_time_ids,
+                                                denoise_text2image,
+                                                prepare_latents)
+    from seedx_tpu.models.sdxl.scheduler import make_schedule
+    from seedx_tpu.models.sdxl.unet import UNet2DCondition, sdxl_base_unet
+    from seedx_tpu.models.sdxl.vae import VAEConfig, VAEDecoder
+    from seedx_tpu.models.vit import VisionTransformer, qwen_vitg_448
+
+    def fill(path, x):
+        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+        if x.dtype == jnp.int8:
+            return jax.random.randint(key, x.shape, -127, 128, jnp.int32
+                                      ).astype(jnp.int8)
+        if x.dtype == jnp.uint8:
+            return jax.random.randint(key, x.shape, 0, 256, jnp.int32
+                                      ).astype(jnp.uint8)
+        return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
+                ).astype(x.dtype)
+
+    def materialize(init_fn):
+        shapes = nn.meta.unbox(jax.eval_shape(init_fn)["params"])
+        p = jax.jit(lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
+        jax.block_until_ready(p)
+        return p
+
+    # ---- resident weights, serving quantization ----
+    vcfg = qwen_vitg_448(param_dtype=jnp.bfloat16, quantization="int8")
+    vit = VisionTransformer(vcfg, remat=False)
+    tiles = jax.random.normal(jax.random.PRNGKey(7),
+                              (vit_tiles, vcfg.image_size, vcfg.image_size, 3),
+                              jnp.bfloat16)
+    vit_params = materialize(
+        lambda: vit.init(jax.random.PRNGKey(0), tiles[:1]))
+
+    lcfg = llama2_13b(quantization="int4", kv_quantization="int8",
+                      num_layers=num_layers, param_dtype=jnp.bfloat16,
+                      remat=False)
+    llm = LlamaForCausalLM(lcfg)
+    ids8 = jnp.zeros((1, 8), jnp.int32)
+    pos8 = jnp.broadcast_to(jnp.arange(8), (1, 8))
+    llm_params = materialize(
+        lambda: llm.init(jax.random.PRNGKey(0), ids8, pos8,
+                         method="init_all"))
+
+    rcfg = DetokenizerConfig(param_dtype=jnp.bfloat16)
+    resampler = ResamplerXL(rcfg)
+    res_params = materialize(
+        lambda: resampler.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, n_img, rcfg.embedding_dim),
+                                         jnp.bfloat16)))
+
+    ucfg = sdxl_base_unet(param_dtype=jnp.bfloat16, quantize="int8")
+    unet = UNet2DCondition(ucfg)
+    scfg = SamplerConfig(height=1024, width=1024,
+                         num_inference_steps=denoise_steps)
+    schedule = make_schedule(denoise_steps)
+    h, w = scfg.latent_hw
+    tids = default_time_ids(scfg, 1)
+    unet_params = materialize(
+        lambda: unet.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, h, w, 4), jnp.bfloat16),
+                          jnp.array([1.0]),
+                          jnp.zeros((1, n_img, ucfg.cross_attention_dim),
+                                    jnp.bfloat16),
+                          jnp.zeros((1, 1280), jnp.bfloat16), tids))
+
+    vae_cfg = VAEConfig()
+    vae = VAEDecoder(vae_cfg)
+    vae_params = materialize(
+        lambda: vae.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, 4), jnp.bfloat16)))
+
+    # ---- jitted phases (chained by data dependencies) ----
+    @jax.jit
+    def vit_encode(p, imgs, shift):
+        out = vit.apply({"params": p}, imgs + shift)
+        return jnp.sum(out.astype(jnp.float32))
+
+    chunk = n_img + 1
+    total = prompt_len + text_steps + chunk + 1
+
+    @jax.jit
+    def llm_turn(p, prompt_ids, seed_token):
+        embeds = llm.apply({"params": p}, prompt_ids, method="embed")
+        positions = jnp.broadcast_to(jnp.arange(prompt_len),
+                                     (1, prompt_len))
+        cache = init_kv_cache(lcfg, 1, total)
+        kv_valid = jnp.arange(total)[None, :] < prompt_len
+        logits, _, cache = llm.apply({"params": p}, embeds, positions,
+                                     kv_valid, cache, 0)
+
+        def step(carry, t):
+            cache, token = carry
+            emb = llm.apply({"params": p}, token[:, None], method="embed")
+            kv_valid = jnp.arange(total)[None, :] < prompt_len + t + 1
+            lg, _, cache = llm.apply({"params": p}, emb,
+                                     jnp.full((1, 1), prompt_len + t),
+                                     kv_valid, cache, prompt_len + t)
+            return (cache, jnp.argmax(lg[:, 0], -1).astype(jnp.int32)), None
+
+        first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32) + seed_token
+        (cache, last), _ = jax.lax.scan(step, (cache, first),
+                                        jnp.arange(text_steps))
+        span_ids = (jnp.arange(chunk, dtype=jnp.int32)[None, :]
+                    + last[:, None]) % 32000
+        emb = llm.apply({"params": p}, span_ids, method="embed")
+        pos = prompt_len + text_steps + jnp.arange(chunk)[None, :]
+        kv_valid = jnp.arange(total)[None, :] < prompt_len + text_steps + chunk
+        lg, hidden, cache = llm.apply({"params": p}, emb, pos, kv_valid,
+                                      cache, prompt_len + text_steps)
+        tok = jnp.argmax(lg[:, -1], -1).astype(jnp.int32)
+        emb = llm.apply({"params": p}, tok[:, None], method="embed")
+        kv_valid = jnp.arange(total)[None, :] < total
+        lg2, _, _ = llm.apply({"params": p}, emb,
+                              jnp.full((1, 1), total - 1), kv_valid, cache,
+                              total - 1)
+        return (jnp.sum(lg2[:, -1]).astype(jnp.float32)
+                + jnp.sum(hidden[:, -1]).astype(jnp.float32))
+
+    @jax.jit
+    def image_out(p_res, p_unet, p_vae, span_feats, shift):
+        ctx, pooled = resampler.apply({"params": p_res}, span_feats + shift)
+        latents = prepare_latents(jax.random.PRNGKey(3), 1, scfg, schedule,
+                                  jnp.bfloat16)
+        lat = denoise_text2image(unet, p_unet, schedule, latents,
+                                 ctx.astype(jnp.bfloat16), ctx * 0,
+                                 pooled.astype(jnp.bfloat16), pooled * 0,
+                                 tids)
+        img = vae.apply({"params": p_vae}, lat / vae_cfg.scaling_factor)
+        return jnp.sum(img.astype(jnp.float32))
+
+    prompt = jax.random.randint(jax.random.PRNGKey(0), (1, prompt_len),
+                                0, 32000)
+    span_feats = jax.random.normal(jax.random.PRNGKey(9),
+                                   (1, n_img, rcfg.embedding_dim),
+                                   jnp.bfloat16)
+
+    def turn(i):
+        v = vit_encode(vit_params, tiles, jnp.bfloat16(i))
+        l = llm_turn(llm_params, prompt,
+                     (v * 0).astype(jnp.int32))         # chained on ViT
+        out = image_out(res_params, unet_params, vae_params, span_feats,
+                        (l * 0 + i).astype(jnp.bfloat16))  # chained on LLM
+        return out
+
+    float(turn(0))                     # compile + warm all three phases
+    iters = 3
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for i in range(1, iters + 1):
+        acc = acc * 0 + turn(i)
     float(acc)
     return (time.perf_counter() - t0) / iters
 
@@ -519,7 +711,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--metric", default="e2e_turn",
                    choices=["vit_encode", "decode_13b", "sdxl_denoise",
-                            "e2e_turn", "serve_continuous", "train_step"])
+                            "e2e_turn", "e2e_resident", "serve_continuous",
+                            "train_step"])
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--batch", type=int, default=1,
                    help="decode_13b batch size (batched serving engine "
@@ -529,6 +722,9 @@ def main():
                    choices=["int8", "int8_full", "int4"],
                    help="decode_13b weight quantization (default: int8 at "
                         "batch 1, int4 for batched serving)")
+    p.add_argument("--unet-quant", default="none", choices=["none", "int8"],
+                   help="sdxl_denoise UNet weights (int8 = the serving-fit "
+                        "config that co-resides with the int4 LLM in 16G)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="wrap the metric in a jax.profiler trace written to "
                         "DIR (parse plugins/profile/*/vm.trace.json.gz — "
@@ -565,6 +761,14 @@ def _run_metric(args):
                 "llm_turn_s": round(parts["llm_s"], 2),
             },
         }))
+    elif args.metric == "e2e_resident":
+        value = min(bench_e2e_resident() for _ in range(args.repeats))
+        print(json.dumps({
+            "metric": "e2e_image_turn_resident_single_chip",
+            "value": round(value, 2),
+            "unit": "seconds (all families in HBM, one device-chained turn)",
+            "vs_baseline": round(5.0 / value, 2),
+        }))
     elif args.metric == "train_step":
         value = _best_of(bench_train_step, args.repeats)
         print(json.dumps({
@@ -582,9 +786,12 @@ def _run_metric(args):
             "vs_baseline": None,
         }))
     elif args.metric == "sdxl_denoise":
-        value = _best_of(bench_sdxl_denoise, args.repeats)
+        uq = args.unet_quant
+        value = _best_of(lambda: bench_sdxl_denoise(quantize=uq),
+                         args.repeats)
         print(json.dumps({
-            "metric": "sdxl_unet_denoise_1024_cfg2",
+            "metric": "sdxl_unet_denoise_1024_cfg2"
+                      + ("_int8" if uq == "int8" else ""),
             "value": round(value, 2),
             "unit": "steps/sec",
             "vs_baseline": None,
