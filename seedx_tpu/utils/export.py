@@ -58,4 +58,40 @@ def export_merged(state_trainable: Any, frozen: Any, path: str,
     merged = merge_params(state_trainable, frozen)
     merged = merge_lora(merged, alpha=lora_alpha)
     save_pytree(path, merged)
+
+
+def export_serving(params: Any, path: str, family: str,
+                   mode: str = None) -> Any:
+    """Quantize once, deploy many: save a family's SERVING artifact — the
+    already-quantized tree (int8/int4-packed kernels + scales) as one orbax
+    checkpoint, so server cold-start skips the multi-GB fp read +
+    host-side quantization pass.
+
+    family: "llama" (mode "int8"|"int8_full"|"int4", default int4),
+    "vit" (int8), "unet" (int8).  Restore with
+    ``train.checkpoints.restore_pytree`` and feed straight to the matching
+    quantized model config (``LlamaConfig(quantization=...)``,
+    ``qwen_vitg_448(quantization="int8")``,
+    ``UNetConfig(quantize="int8")``).  The round trip is bit-exact
+    (tests/test_quantize.py) — quantization happens exactly once, at
+    export.  No reference counterpart: it serves fp16 from the fp
+    checkpoint every launch (reference:
+    src/inference/eval_img2text_seed_x_i.py:60-66).
+
+    Returns the quantized tree (numpy leaves)."""
+    from seedx_tpu.train.checkpoints import save_pytree
+    from seedx_tpu.utils import quantize as qz
+
+    host = jax.tree.map(np.asarray, params)
+    if family == "llama":
+        qtree = qz.quantize_llama_params(host, mode=mode or "int4")
+    elif family == "vit":
+        qtree = qz.quantize_vit_params(host)
+    elif family == "unet":
+        qtree = qz.quantize_unet_params(host)
+    else:
+        raise ValueError(
+            f"unknown family {family!r}; one of ['llama', 'unet', 'vit']")
+    save_pytree(path, qtree)
+    return qtree
     return merged

@@ -450,3 +450,71 @@ def test_int8_vit_matches_fp():
     out = np.asarray(qmodel.apply({"params": qparams}, imgs), np.float32)
     rms = float(np.sqrt(np.mean(ref ** 2)))
     assert np.sqrt(np.mean((ref - out) ** 2)) < 0.05 * rms
+
+
+def test_export_serving_roundtrip_bit_exact(tmp_path):
+    """export_serving saves the already-quantized int4 tree; restoring it
+    gives bit-identical leaves and bit-identical logits — quantization
+    happens exactly once, at export (utils/export.py)."""
+    from seedx_tpu.train.checkpoints import restore_pytree
+    from seedx_tpu.utils.export import export_serving
+
+    cfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                      num_heads=4, num_kv_heads=4)
+    qcfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                       num_heads=4, num_kv_heads=4, quantization="int4")
+    model = LlamaForCausalLM(cfg)
+    qmodel = LlamaForCausalLM(qcfg)
+    B, S = 1, 16
+    ids = jax.random.randint(jax.random.PRNGKey(0), (B, S), 0, cfg.vocab_size)
+    positions = jnp.broadcast_to(jnp.arange(S), (B, S))
+    from flax import linen as nn
+
+    params = nn.meta.unbox(model.init(jax.random.PRNGKey(0), ids, positions,
+                                      method="init_all")["params"])
+
+    qtree = export_serving(params, str(tmp_path / "llama_int4"), "llama")
+    restored = restore_pytree(str(tmp_path / "llama_int4"))
+
+    flat_q = jax.tree_util.tree_leaves_with_path(qtree)
+    flat_r = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_leaves_with_path(restored)}
+    assert len(flat_q) == len(flat_r)
+    for path, leaf in flat_q:
+        r = flat_r[jax.tree_util.keystr(path)]
+        assert r.dtype == np.asarray(leaf).dtype
+        assert np.array_equal(np.asarray(r), np.asarray(leaf))
+
+    rp = jax.tree.map(jnp.asarray, restored)
+    qp = jax.tree.map(jnp.asarray, qtree)
+    embeds = qmodel.apply({"params": qp}, ids, method="embed")
+    a, _, _ = qmodel.apply({"params": qp}, embeds, positions,
+                           jnp.ones((B, S), bool))
+    b, _, _ = qmodel.apply({"params": rp}, embeds, positions,
+                           jnp.ones((B, S), bool))
+    assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_serving_unet_family(tmp_path):
+    """UNet family export produces the Conv8/Dense8 layout and restores
+    bit-exact."""
+    from seedx_tpu.models.sdxl.unet import UNet2DCondition, sdxl_debug_unet
+    from seedx_tpu.train.checkpoints import restore_pytree
+    from seedx_tpu.utils.export import export_serving
+
+    ucfg = sdxl_debug_unet(dtype=jnp.float32)
+    unet = UNet2DCondition(ucfg)
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)
+    lat = jnp.zeros((1, 16, 16, ucfg.in_channels))
+    ctx = jnp.zeros((1, 8, ucfg.cross_attention_dim))
+    params = unet.init(jax.random.PRNGKey(0), lat, jnp.array([1.0]), ctx,
+                       jnp.zeros((1, pooled_dim)), jnp.zeros((1, 6)))["params"]
+    qtree = export_serving(params, str(tmp_path / "unet_int8"), "unet")
+    restored = restore_pytree(str(tmp_path / "unet_int8"))
+    flat = {jax.tree_util.keystr(p): v
+            for p, v in jax.tree_util.tree_leaves_with_path(qtree)}
+    assert any(k.endswith("'kernel_q']") for k in flat)
+    for path, leaf in jax.tree_util.tree_leaves_with_path(restored):
+        assert np.array_equal(np.asarray(leaf),
+                              np.asarray(flat[jax.tree_util.keystr(path)]))
