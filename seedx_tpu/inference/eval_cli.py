@@ -20,6 +20,9 @@
       optional per-request max_new_tokens), JSONL results out.
       --engine batched (bucket micro-batching) | continuous (slot pool,
       rolling admission).
+  python -m seedx_tpu.inference.server --port 8000
+      HTTP front-end (JSON over POST, micro-batching dispatcher, chat
+      sessions) — see inference/server.py.
 
 ``--debug`` (or env SEEDX_DEBUG=1) runs the tiny random stack so every flow
 executes without the released 17B weights (the reference DEBUG_FLAG analogue).
