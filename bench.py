@@ -147,7 +147,7 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
 
 def bench_sdxl_denoise(batch_size: int = 1, steps: int = 10,
                        height: int = 1024, width: int = 1024,
-                       quantize: str = "none"):
+                       quantize: str = "none", solver: str = "euler"):
     """SDXL-base UNet denoise steps/sec (2-way CFG, 1024x1024; bf16 or
     int8 weight-only — the serving-fit config that co-resides with the
     int4 LLM on one 16G chip)."""
@@ -163,7 +163,7 @@ def bench_sdxl_denoise(batch_size: int = 1, steps: int = 10,
     cfg = sdxl_base_unet(param_dtype=jnp.bfloat16, quantize=quantize)
     unet = UNet2DCondition(cfg)
     scfg = SamplerConfig(height=height, width=width, num_inference_steps=steps)
-    schedule = make_schedule(steps)
+    schedule = make_schedule(steps, solver=solver)
 
     h, w = scfg.latent_hw
     sample = jnp.zeros((batch_size, h, w, 4), jnp.bfloat16)
@@ -752,6 +752,12 @@ def main():
     p.add_argument("--unet-quant", default="none", choices=["none", "int8"],
                    help="sdxl_denoise UNet weights (int8 = the serving-fit "
                         "config that co-resides with the int4 LLM in 16G)")
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "dpmpp_2m"],
+                   help="sdxl_denoise sampler (per-step cost is the same "
+                        "UNet eval; dpmpp_2m needs ~half the steps)")
+    p.add_argument("--steps", type=int, default=10,
+                   help="sdxl_denoise step count")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="wrap the metric in a jax.profiler trace written to "
                         "DIR (parse plugins/profile/*/vm.trace.json.gz — "
@@ -786,6 +792,11 @@ def _run_metric(args):
                 "vit_imgs_per_s": round(5 / parts["vit_s"], 1),
                 "sdxl_denoise_steps_per_s": round(30 / parts["sdxl_s"], 2),
                 "llm_turn_s": round(parts["llm_s"], 2),
+                # DPM-Solver++(2M) Karras at 15 steps matches euler-30
+                # quality (tests/test_dpm_solver.py; --solver dpmpp_2m);
+                # per-step cost is the same UNet eval, so the fast turn is
+                # the same phases with half the denoise steps.
+                "e2e_dpmpp15_s": round(best - parts["sdxl_s"] / 2, 2),
             },
             "chip_gauge_tflops": round(chip_gauge(), 1),
         }))
@@ -816,11 +827,12 @@ def _run_metric(args):
         }))
     elif args.metric == "sdxl_denoise":
         uq = args.unet_quant
-        value = _best_of(lambda: bench_sdxl_denoise(quantize=uq),
-                         args.repeats)
+        value = _best_of(lambda: bench_sdxl_denoise(
+            quantize=uq, steps=args.steps, solver=args.solver), args.repeats)
         print(json.dumps({
             "metric": "sdxl_unet_denoise_1024_cfg2"
-                      + ("_int8" if uq == "int8" else ""),
+                      + ("_int8" if uq == "int8" else "")
+                      + ("_dpmpp" if args.solver == "dpmpp_2m" else ""),
             "value": round(value, 2),
             "unit": "steps/sec",
             "vs_baseline": None,

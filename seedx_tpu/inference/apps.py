@@ -92,7 +92,8 @@ def ground(rt: SeedXRuntime, image, question: str,
 
 def text_to_image(rt: SeedXRuntime, caption: str, seed: int = 42,
                   num_inference_steps: int = 50,
-                  max_new_tokens: int = 120) -> Dict[str, Any]:
+                  max_new_tokens: int = 120,
+                  solver: str = "euler") -> Dict[str, Any]:
     """Caption -> generated image (reference: eval_text2img_seed_x_i.py:85-94).
 
     The LLM is prompted to emit an image span; its 64 hidden states drive the
@@ -103,14 +104,16 @@ def text_to_image(rt: SeedXRuntime, caption: str, seed: int = 42,
     images = None
     if out["has_img_output"] and rt.adapter is not None:
         images = rt.adapter.generate(out["img_gen_feat"], seed=seed,
-                                     num_inference_steps=num_inference_steps)
+                                     num_inference_steps=num_inference_steps,
+                                     solver=solver)
     out["images"] = images
     return out
 
 
 def edit_image(rt: SeedXRuntime, image, instruction: str, seed: int = 42,
                num_inference_steps: int = 50,
-               max_new_tokens: int = 120) -> Dict[str, Any]:
+               max_new_tokens: int = 120,
+               solver: str = "euler") -> Dict[str, Any]:
     """Instruction-guided editing (reference: eval_img2edit_seed_x_edit.py):
     source image enters BOTH the LLM (comprehension splice) and the SDXL
     UNet (condition latents)."""
@@ -129,25 +132,29 @@ def edit_image(rt: SeedXRuntime, image, instruction: str, seed: int = 42,
         latent_image = jnp.asarray(latent_tf(image))[None]
         images = rt.adapter.generate(out["img_gen_feat"],
                                      latent_image=latent_image, seed=seed,
-                                     num_inference_steps=num_inference_steps)
+                                     num_inference_steps=num_inference_steps,
+                                     solver=solver)
     out["images"] = images
     return out
 
 
 def reconstruct(rt: SeedXRuntime, image, seed: int = 42,
-                num_inference_steps: int = 50) -> np.ndarray:
+                num_inference_steps: int = 50,
+                solver: str = "euler") -> np.ndarray:
     """ViT features -> SDXL directly, no LLM — detokenizer reconstruction
     (reference: eval_seed_x_detokenizer.py)."""
     assert rt.adapter is not None
     embeds = rt.encode_image_single(image)   # raw ViT tokens (reference
     # adapter get_image_embeds image_tensor path, adapter_modules.py:103-108)
     return rt.adapter.generate(embeds, from_vit=True, seed=seed,
-                               num_inference_steps=num_inference_steps)
+                               num_inference_steps=num_inference_steps,
+                               solver=solver)
 
 
 def reconstruct_with_condition(rt: SeedXRuntime, image, condition_image,
                                seed: int = 42,
-                               num_inference_steps: int = 50) -> np.ndarray:
+                               num_inference_steps: int = 50,
+                               solver: str = "euler") -> np.ndarray:
     """Reconstruction with a condition image through the edit UNet path
     (reference: eval_seed_x_detokenizer_with_condition.py)."""
     assert rt.adapter is not None
@@ -159,4 +166,5 @@ def reconstruct_with_condition(rt: SeedXRuntime, image, condition_image,
     latent_image = jnp.asarray(latent_tf(condition_image))[None]
     return rt.adapter.generate(embeds, from_vit=True,
                                latent_image=latent_image, seed=seed,
-                               num_inference_steps=num_inference_steps)
+                               num_inference_steps=num_inference_steps,
+                               solver=solver)

@@ -82,6 +82,10 @@ def main(argv=None):
                    choices=["instruct", "pretrain"])
     p.add_argument("--max_new_tokens", type=int, default=512)
     p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--solver", default="euler", choices=["euler", "dpmpp_2m"],
+                   help="diffusion sampler: euler = reference parity; "
+                        "dpmpp_2m = DPM-Solver++(2M) Karras (~15 steps "
+                        "match euler's 50-step quality)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out_dir", default="vis")
     p.add_argument("--debug", action="store_true")
@@ -112,7 +116,8 @@ def main(argv=None):
             print("saved:", path)
     elif args.command == "text2img":
         out = apps.text_to_image(rt, args.caption, seed=args.seed,
-                                 num_inference_steps=args.num_inference_steps)
+                                 num_inference_steps=args.num_inference_steps,
+                                 solver=args.solver)
         print(out["text"])
         if out["images"] is not None:
             print("saved:", _save_images(out["images"], args.out_dir, "t2i"))
@@ -120,7 +125,8 @@ def main(argv=None):
             print("(no image span generated)")
     elif args.command == "edit":
         out = apps.edit_image(rt, image, args.instruction, seed=args.seed,
-                              num_inference_steps=args.num_inference_steps)
+                              num_inference_steps=args.num_inference_steps,
+                              solver=args.solver)
         print(out["text"])
         if out["images"] is not None:
             print("saved:", _save_images(out["images"], args.out_dir, "edit"))
@@ -244,7 +250,8 @@ def main(argv=None):
                     res["images"] = rt.adapter.generate(
                         res["img_gen_feat"], latent_image=latent_image,
                         seed=args.seed,
-                        num_inference_steps=args.num_inference_steps)
+                        num_inference_steps=args.num_inference_steps,
+                        solver=args.solver)
                 res["clean_text"] = P.strip_markup(res["text"])
                 emit(i, res)
     elif args.command == "detokenize":
@@ -252,11 +259,13 @@ def main(argv=None):
             cond = Image.open(args.condition).convert("RGB")
             imgs = apps.reconstruct_with_condition(
                 rt, image, cond, seed=args.seed,
-                num_inference_steps=args.num_inference_steps)
+                num_inference_steps=args.num_inference_steps,
+                solver=args.solver)
         else:
             imgs = apps.reconstruct(
                 rt, image, seed=args.seed,
-                num_inference_steps=args.num_inference_steps)
+                num_inference_steps=args.num_inference_steps,
+                solver=args.solver)
         print("saved:", _save_images(imgs, args.out_dir, "recon"))
     return 0
 

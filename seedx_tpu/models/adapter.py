@@ -206,7 +206,8 @@ class SDXLAdapter:
                  seed: int = 42,
                  num_inference_steps: Optional[int] = None,
                  guidance_scale: Optional[float] = None,
-                 image_guidance_scale: Optional[float] = None) -> np.ndarray:
+                 image_guidance_scale: Optional[float] = None,
+                 solver: Optional[str] = None) -> np.ndarray:
         """image_embeds [B, T, 4096] -> images [B, H, W, 3] float32 in [0,1].
 
         from_vit: conditioning is raw ViT features (detokenizer recon path)
@@ -220,7 +221,7 @@ class SDXLAdapter:
         g = guidance_scale if guidance_scale is not None else cfg.guidance_scale
         gi = (image_guidance_scale if image_guidance_scale is not None
               else cfg.image_guidance_scale)
-        schedule = make_schedule(steps)
+        schedule = make_schedule(steps, solver=solver or cfg.solver)
         b = image_embeds.shape[0]
 
         with self._mesh_scope():

@@ -26,8 +26,8 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 
-from seedx_tpu.models.sdxl.scheduler import (EulerSchedule, euler_step,
-                                             scale_model_input)
+from seedx_tpu.models.sdxl.scheduler import (EulerSchedule, dpmpp_2m_step,
+                                             euler_step, scale_model_input)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,9 +42,42 @@ class SamplerConfig:
     vae_scale: int = 8
     vae_scaling_factor: float = 0.13025
 
+    solver: str = "euler"                  # "euler" (parity) | "dpmpp_2m"
+
     @property
     def latent_hw(self) -> Tuple[int, int]:
         return self.height // self.vae_scale, self.width // self.vae_scale
+
+
+def _solver_scan(schedule: EulerSchedule, latents, eps_fn):
+    """Run the denoise loop: one lax.scan over steps for either solver.
+
+    ``eps_fn(lat, sigma, t) -> eps_cfg`` is the CFG-combined UNet eval; the
+    solver update around it is selected statically from ``schedule.solver``
+    (DPM-Solver++(2M) carries the previous step's x0 prediction).
+    """
+    sigmas = jnp.asarray(schedule.sigmas)
+    timesteps = jnp.asarray(schedule.timesteps)
+    use_dpm = schedule.solver == "dpmpp_2m"
+    if use_dpm:
+        r0s = jnp.asarray(schedule.r0)
+        second = jnp.asarray(schedule.second_order)
+
+    def step(carry, i):
+        lat, prev_x0 = carry
+        sigma, sigma_next = sigmas[i], sigmas[i + 1]
+        eps_cfg = eps_fn(lat, sigma, timesteps[i])
+        if use_dpm:
+            lat, prev_x0 = dpmpp_2m_step(lat, prev_x0, eps_cfg, sigma,
+                                         sigma_next, r0s[i], second[i])
+        else:
+            lat = euler_step(lat, eps_cfg, sigma, sigma_next)
+        return (lat, prev_x0), None
+
+    init = (latents, jnp.zeros(latents.shape, jnp.float32))
+    (latents, _), _ = jax.lax.scan(step, init,
+                                   jnp.arange(schedule.num_steps))
+    return latents
 
 
 def default_time_ids(cfg: SamplerConfig, batch: int) -> jnp.ndarray:
@@ -77,15 +110,12 @@ def denoise_text2image(
     guidance_scale: float = 7.5,
     guidance_rescale: float = 0.0,
 ) -> jnp.ndarray:
-    """2-way CFG Euler sampling; returns final latents (unscaled)."""
+    """2-way CFG sampling; returns final latents (unscaled)."""
     context = jnp.concatenate([negative_prompt_embeds, prompt_embeds])
     pooled_all = jnp.concatenate([negative_pooled, pooled])
     tids = jnp.concatenate([time_ids, time_ids])
-    sigmas = jnp.asarray(schedule.sigmas)
-    timesteps = jnp.asarray(schedule.timesteps)
 
-    def step(lat, i):
-        sigma, sigma_next, t = sigmas[i], sigmas[i + 1], timesteps[i]
+    def eps_fn(lat, sigma, t):
         lat_in = jnp.concatenate([lat, lat])
         scaled = scale_model_input(lat_in, sigma)
         eps = unet.apply({"params": unet_params}, scaled,
@@ -95,11 +125,9 @@ def denoise_text2image(
         eps_cfg = eps_uncond + guidance_scale * (eps_text - eps_uncond)
         if guidance_rescale > 0.0:
             eps_cfg = rescale_noise_cfg(eps_cfg, eps_text, guidance_rescale)
-        return euler_step(lat, eps_cfg, sigma, sigma_next), None
+        return eps_cfg
 
-    latents, _ = jax.lax.scan(step, latents,
-                              jnp.arange(schedule.num_steps))
-    return latents
+    return _solver_scan(schedule, latents, eps_fn)
 
 
 def denoise_edit(
@@ -129,11 +157,8 @@ def denoise_edit(
     tids = jnp.concatenate([time_ids] * 3)
     cond = jnp.concatenate(
         [image_latents, image_latents, jnp.zeros_like(image_latents)])
-    sigmas = jnp.asarray(schedule.sigmas)
-    timesteps = jnp.asarray(schedule.timesteps)
 
-    def step(lat, i):
-        sigma, sigma_next, t = sigmas[i], sigmas[i + 1], timesteps[i]
+    def eps_fn(lat, sigma, t):
         lat_in = jnp.concatenate([lat] * 3)
         scaled = scale_model_input(lat_in, sigma)
         scaled = jnp.concatenate([scaled, cond.astype(scaled.dtype)], axis=-1)
@@ -146,11 +171,9 @@ def denoise_edit(
                    + image_guidance_scale * (eps_image - eps_uncond))
         if guidance_rescale > 0.0:
             eps_cfg = rescale_noise_cfg(eps_cfg, eps_text, guidance_rescale)
-        return euler_step(lat, eps_cfg, sigma, sigma_next), None
+        return eps_cfg
 
-    latents, _ = jax.lax.scan(step, latents,
-                              jnp.arange(schedule.num_steps))
-    return latents
+    return _solver_scan(schedule, latents, eps_fn)
 
 
 def prepare_latents(rng, batch: int, cfg: SamplerConfig,

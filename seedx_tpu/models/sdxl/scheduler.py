@@ -1,4 +1,4 @@
-"""Euler discrete scheduler (the SDXL default sampler).
+"""Diffusion samplers: Euler discrete (the SDXL default) and DPM-Solver++(2M).
 
 Functional, jit-friendly equivalent of diffusers' EulerDiscreteScheduler as
 used by the reference (reference: src/inference/eval_text2img_seed_x_i.py:60,
@@ -6,6 +6,18 @@ denoise loop src/models/detokenizer/pipeline_stable_diffusion_xl_t2i_edit.py:
 900-963).  SDXL config: 1000 train steps, scaled_linear betas
 0.00085 -> 0.012, epsilon prediction, "leading" timestep spacing with
 steps_offset 1.
+
+Beyond parity, ``solver="dpmpp_2m"`` selects a DPM-Solver++(2M) multistep
+update (Lu et al., arXiv:2211.01095) with Karras sigma spacing
+(arXiv:2206.00364 §5) — the standard few-step sampler: ~14-16 steps match
+Euler's 30-step quality, nearly halving denoise latency.  The update is
+derived in the same sigma-space the Euler path uses (x = x0 + sigma*eps,
+UNet input x/sqrt(sigma^2+1)): with r = sigma_next/sigma the VP-space
+DPM-Solver++ step ``x_t = (s_t/s_s)x - a_t(e^{-h}-1)(D0 + D1/2)`` reduces to
+``x' = r*x + (1-r)*D`` because e^{-h} = sigma_next/sigma and the alpha
+factors cancel when the sample is kept un-pre-scaled.  First and last steps
+are first-order (D = x0), matching diffusers' warm-up + final_sigmas_type
+="zero" behavior.
 
 Everything is precomputed into arrays; the denoise loop is a ``lax.scan``
 over step indices (the reference's per-step ``xm.mark_step()`` at
@@ -37,15 +49,29 @@ class EulerSchedule:
     timesteps: np.ndarray      # [n] descending float
     sigmas: np.ndarray         # [n + 1] (last entry 0.0)
     init_noise_sigma: float
+    solver: str = "euler"      # "euler" | "dpmpp_2m"
+    # DPM-Solver++(2M) tables (None for euler):
+    r0: np.ndarray = None           # [n] h_prev/h per step (dummy 1.0 where 1st-order)
+    second_order: np.ndarray = None  # [n] bool: use the multistep D1 correction
 
     @property
     def num_steps(self) -> int:
         return len(self.timesteps)
 
 
+def karras_sigmas(sigma_min: float, sigma_max: float, n: int,
+                  rho: float = 7.0) -> np.ndarray:
+    """Karras et al. (arXiv:2206.00364 eq. 5) sigma ramp, descending, [n]."""
+    ramp = np.linspace(0.0, 1.0, n, dtype=np.float64)
+    inv = sigma_max ** (1.0 / rho) + ramp * (
+        sigma_min ** (1.0 / rho) - sigma_max ** (1.0 / rho))
+    return inv ** rho
+
+
 def make_schedule(num_inference_steps: int,
-                  cfg: EulerScheduleConfig = EulerScheduleConfig()
-                  ) -> EulerSchedule:
+                  cfg: EulerScheduleConfig = EulerScheduleConfig(),
+                  solver: str = "euler",
+                  karras: bool = None) -> EulerSchedule:
     n_train = cfg.num_train_timesteps
     if cfg.beta_schedule == "scaled_linear":
         betas = np.linspace(cfg.beta_start ** 0.5, cfg.beta_end ** 0.5,
@@ -71,15 +97,45 @@ def make_schedule(num_inference_steps: int,
                                 dtype=np.float64)[::-1]
 
     sigmas = np.interp(timesteps, np.arange(n_train), sigmas_full)
+
+    if karras is None:
+        karras = solver == "dpmpp_2m"
+    if karras:
+        # Karras ramp over the model's FULL sigma range (k-diffusion
+        # convention; "leading" pre-spacing would clip sigma_max from ~14.6
+        # to ~9.5 and under-noise the pure-noise start), then recover the
+        # conditioning timesteps by log-sigma interpolation (diffusers'
+        # _sigma_to_t with use_karras_sigmas=True).
+        sigmas = karras_sigmas(float(sigmas_full[0]), float(sigmas_full[-1]),
+                               num_inference_steps)
+        timesteps = np.interp(np.log(sigmas), np.log(sigmas_full),
+                              np.arange(n_train))
+
     sigmas = np.concatenate([sigmas, [0.0]]).astype(np.float32)
 
-    if cfg.timestep_spacing in ("linspace", "trailing"):
+    if karras or cfg.timestep_spacing in ("linspace", "trailing"):
         init_noise_sigma = float(sigmas.max())
     else:
         init_noise_sigma = float((sigmas.max() ** 2 + 1) ** 0.5)
 
+    r0 = second = None
+    if solver == "dpmpp_2m":
+        sig = sigmas[:-1].astype(np.float64)
+        n = len(sig)
+        # h_i = lambda_{i+1} - lambda_i = log(sigma_i / sigma_{i+1}); the last
+        # step's h is infinite (sigma -> 0) but that step is first-order.
+        h = np.ones(n)
+        h[:-1] = np.log(sig[:-1] / sig[1:])
+        h_prev = np.concatenate([[1.0], h[:-1]])
+        r0 = (h_prev / h).astype(np.float32)
+        second = np.zeros(n, bool)
+        second[1:-1] = True
+    elif solver != "euler":
+        raise NotImplementedError(solver)
+
     return EulerSchedule(timesteps=timesteps.astype(np.float32),
-                         sigmas=sigmas, init_noise_sigma=init_noise_sigma)
+                         sigmas=sigmas, init_noise_sigma=init_noise_sigma,
+                         solver=solver, r0=r0, second_order=second)
 
 
 def scale_model_input(sample: jnp.ndarray, sigma) -> jnp.ndarray:
@@ -97,6 +153,24 @@ def euler_step(sample: jnp.ndarray, eps: jnp.ndarray, sigma,
     sample = sample.astype(jnp.float32)
     eps = eps.astype(jnp.float32)
     return (sample + eps * (sigma_next - sigma)).astype(dtype)
+
+
+def dpmpp_2m_step(sample: jnp.ndarray, prev_x0: jnp.ndarray, eps: jnp.ndarray,
+                  sigma, sigma_next, r0, use_second):
+    """One DPM-Solver++(2M) multistep update in Euler sigma-space.
+
+    D0 = x0(sigma); D1 = (D0 - x0_prev)/r0 (midpoint solver type);
+    x' = r*x + (1-r)*(D0 + D1/2) with r = sigma_next/sigma (see module
+    docstring for the derivation from the VP-space form).  Returns
+    (new_sample, x0) — x0 is carried as the next step's history.
+    """
+    dtype = sample.dtype
+    x = sample.astype(jnp.float32)
+    x0 = x - sigma * eps.astype(jnp.float32)
+    d1 = (x0 - prev_x0) / r0
+    d = jnp.where(use_second, x0 + 0.5 * d1, x0)
+    r = sigma_next / sigma
+    return (r * x + (1.0 - r) * d).astype(dtype), x0
 
 
 def add_noise(original: jnp.ndarray, noise: jnp.ndarray, sigma) -> jnp.ndarray:
