@@ -46,6 +46,15 @@ class GenerationConfig:
     eos_token_id: int = 2
     pad_token_id: int = 0
     prompt_buckets: tuple = (128, 256, 512, 1024)
+    # n-gram speculative decoding (greedy, B=1): draft spec_k tokens per
+    # round from the last spec_ngram-gram's previous occurrence in
+    # prompt+generated text, verify all of them in ONE forward.  Exact:
+    # emits precisely the greedy sequence; rounds just batch the
+    # weight-stream over multiple tokens, breaking the one-token-per-pass
+    # HBM roofline on self-similar text (quotes, code, JSON, grounding).
+    # 0 disables.  (The reference's HF loop has no analogue.)
+    spec_k: int = 0
+    spec_ngram: int = 3
 
 
 def constrain_image_tokens(prev_token: jnp.ndarray, logits: jnp.ndarray,
@@ -87,6 +96,32 @@ def constrain_image_tokens(prev_token: jnp.ndarray, logits: jnp.ndarray,
     return jnp.where(is_forced[:, None], forced_logits, unforced_logits)
 
 
+def _ngram_draft(hist, m, token0, k: int, ngram: int = 3):
+    """Prompt-lookup drafting: continuation after the most recent earlier
+    occurrence of the current tail n-gram.
+
+    hist: [L] int32 token history (prompt + generated), -1 in unfilled/pad
+    slots; hist[:m] is filled and ``token0`` is the (exact, already decided)
+    next token at virtual position m.  Returns [k] draft ids, -1 where no
+    match / beyond the filled region — -1 never verifies, so a bad draft
+    costs nothing but the already-spent verify FLOPs.
+    """
+    idx = jnp.arange(hist.shape[0])
+    match = hist == token0
+    lo = 1
+    y = hist[jnp.maximum(m - 1, 0)]
+    match &= jnp.roll(hist, 1) == y
+    if ngram >= 3:
+        z = hist[jnp.maximum(m - 2, 0)]
+        match &= jnp.roll(hist, 2) == z
+        lo = 2
+    match &= (idx >= lo) & (idx < m)
+    j = jnp.max(jnp.where(match, idx, -1))
+    start = jnp.clip(j + 1, 0, hist.shape[0] - k)
+    drafts = jax.lax.dynamic_slice(hist, (start,), (k,))
+    return jnp.where(j >= 0, drafts, -1)
+
+
 def _sample(logits, rng, cfg: GenerationConfig):
     if not cfg.do_sample:
         return jnp.argmax(logits, axis=-1)
@@ -114,11 +149,12 @@ def generate_tokens(
     rng: jnp.ndarray,
     gen_cfg: GenerationConfig,
     vocab: MultimodalVocab = DEFAULT_VOCAB,
+    prompt_ids: Optional[jnp.ndarray] = None,   # [B, P], enables spec decode
 ):
     """Returns dict with tokens [B, T], hidden [B, T, D], finished [B, T].
 
-    Decode is a ``lax.while_loop`` (not a fixed-trip scan) with two upgrades
-    over the reference's HF loop (seed_x.py:184-189):
+    Decode is a ``lax.while_loop`` (not a fixed-trip scan) with three
+    upgrades over the reference's HF loop (seed_x.py:184-189):
 
       * early exit once every row is finished — a chat turn that ends at
         step 9 costs 9 steps, not ``max_new_tokens``,
@@ -129,18 +165,34 @@ def generate_tokens(
         constrained decoder, so they run as ONE prefill-into-cache forward
         (65 tokens in parallel on the MXU) instead of 65 serial decode steps.
         The hidden states the output resampler needs are the chunk's own
-        outputs, so alignment is unchanged (seed_x.py:196-207).
+        outputs, so alignment is unchanged (seed_x.py:196-207),
+      * n-gram speculative decoding (``gen_cfg.spec_k > 0``, greedy B=1,
+        needs ``prompt_ids``): each round drafts up to spec_k continuation
+        tokens by prompt-lookup (``_ngram_draft``) and verifies them in ONE
+        forward; the emitted tokens are exactly the greedy sequence (the
+        accepted prefix is teacher-forced-exact, and the next round recomputes
+        the first unverified token from the last accepted position's logits),
+        so B=1 decode amortizes the weight stream over several tokens
+        whenever the text revisits its own n-grams.
     """
     b, p, d = prompt_embeds.shape
     t = gen_cfg.max_new_tokens
     n_img = gen_cfg.num_img_gen_tokens
+    # spec decode is greedy-exact only, and per-row accept counts diverge
+    # under batching, so it is a B=1 feature (the latency-bound case).
+    spec_k = (gen_cfg.spec_k
+              if (gen_cfg.spec_k > 0 and b == 1 and not gen_cfg.do_sample
+                  and prompt_ids is not None) else 0)
+    # the verify forward writes spec_k + 1 cache rows even when fewer
+    # tokens end up accepted near the t boundary — give the cache headroom
+    t_cache = t + spec_k
     llm_cfg = model.cfg.llm
-    cache = init_kv_cache(llm_cfg, b, p + t)
+    cache = init_kv_cache(llm_cfg, b, p + t_cache)
 
     positions = jnp.maximum(
         jnp.cumsum(prompt_mask.astype(jnp.int32), axis=-1) - 1, 0)
     kv_valid_prefill = jnp.concatenate(
-        [prompt_mask, jnp.zeros((b, t), bool)], axis=-1)
+        [prompt_mask, jnp.zeros((b, t_cache), bool)], axis=-1)
 
     logits, prefill_hidden, cache = model.apply(
         variables, prompt_embeds, positions, kv_valid_prefill, cache, 0,
@@ -163,15 +215,25 @@ def generate_tokens(
         [jnp.arange(vocab.img_token_start, vocab.img_token_start + n_img),
          jnp.asarray([vocab.eoi])]).astype(jnp.int32)      # [n_img + 1]
 
+    if spec_k:
+        # token history for n-gram lookup: prompt at [0, p), generated token
+        # i at p + i; -1 marks pad/unwritten slots (never matches a draft)
+        hist0 = jnp.concatenate([
+            jnp.where(prompt_mask[0], prompt_ids[0].astype(jnp.int32), -1),
+            jnp.full((t,), -1, jnp.int32)])
+    else:
+        hist0 = jnp.zeros((1,), jnp.int32)
+
     def decode_kv_valid(n_valid):
         return jnp.concatenate(
             [prompt_mask,
-             jnp.broadcast_to(jnp.arange(t)[None, :] < n_valid, (b, t))],
+             jnp.broadcast_to(jnp.arange(t_cache)[None, :] < n_valid,
+                              (b, t_cache))],
             axis=-1)
 
     def single_step(state):
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state
         rng, sub = jax.random.split(rng)
         constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
                                              n_img)
@@ -194,11 +256,11 @@ def generate_tokens(
             p + n, method="llm_step")
         return (cache, logits[:, 0].astype(jnp.float32), hidden[:, 0], pos,
                 token, new_finished, rng, out_tokens, out_hidden,
-                out_finished, n + 1)
+                out_finished, hist, n + 1)
 
     def chunk_step(state):
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state
         c = n_img + 1
         ids = jnp.broadcast_to(forced_ids[None, :], (b, c))
         embeds = model.apply(variables, ids, method="embed_ids")
@@ -215,17 +277,76 @@ def generate_tokens(
             out_hidden, hid_w.astype(hid_dtype), (0, n, 0))
         out_finished = jax.lax.dynamic_update_slice(
             out_finished, jnp.broadcast_to(finished[:, None], (b, c)), (0, n))
+        if spec_k:
+            hist = jax.lax.dynamic_update_slice(hist, ids[0], (p + n,))
         return (cache, logits[:, -1].astype(jnp.float32), hidden[:, -1],
                 prev_pos + c, jnp.full((b,), vocab.eoi, jnp.int32), finished,
-                rng, out_tokens, out_hidden, out_finished, n + c)
+                rng, out_tokens, out_hidden, out_finished, hist, n + c)
+
+    def spec_step(state):
+        """One speculative round (greedy, B=1): decide the exact next token
+        from the carried logits, draft spec_k continuations by n-gram
+        lookup, verify all of them in one (spec_k+1)-position forward, and
+        emit the verified-exact prefix.  The last accepted position's
+        logits seed the next round, so no token is ever emitted from an
+        unverified distribution."""
+        (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state
+        k = spec_k
+        constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
+                                             n_img)
+        token0 = jnp.argmax(constrained, axis=-1).astype(jnp.int32)   # [1]
+        drafts = _ngram_draft(hist, p + n, token0[0], k, gen_cfg.spec_ngram)
+        v = jnp.concatenate([token0, drafts])                # [k+1]
+        embeds = model.apply(variables, jnp.maximum(v, 0)[None, :],
+                             method="embed_ids")
+        pos = prev_pos[:, None] + 1 + jnp.arange(k + 1)[None, :]
+        logits_v, hidden_v, cache = model.apply(
+            variables, embeds, pos, decode_kv_valid(n + k + 1), cache,
+            p + n, method="llm_step")
+        logits_v = logits_v.astype(jnp.float32)
+        # the exact token AFTER each verify position, under the constrainer
+        exp_next = jnp.argmax(
+            constrain_image_tokens(v, logits_v[0], vocab, n_img),
+            axis=-1).astype(jnp.int32)                       # [k+1]
+        # accept drafts while they match and no stopper was emitted: eos
+        # ends the sequence, <img> hands over to the forced-span chunk
+        stop_prev = ((v[:k] == gen_cfg.eos_token_id) | (v[:k] == vocab.boi))
+        acc = (drafts == exp_next[:k]) & ~stop_prev
+        a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))      # accepted
+        e_count = a + 1                                      # emitted
+        i_vec = jnp.arange(k + 1)
+        # index t(_cache) is out of range -> mode="drop" skips non-emitted
+        write_idx = jnp.where(i_vec < e_count, n + i_vec, t)
+        fin_w = v == gen_cfg.eos_token_id
+        hid_w = jnp.concatenate([prev_hidden[:, None], hidden_v[:, :k]],
+                                axis=1)[0]
+        out_tokens = out_tokens.at[0, write_idx].set(v, mode="drop")
+        out_hidden = out_hidden.at[0, write_idx].set(
+            hid_w.astype(hid_dtype), mode="drop")
+        out_finished = out_finished.at[0, write_idx].set(fin_w, mode="drop")
+        hist = hist.at[jnp.where(i_vec < e_count, p + n + i_vec, p + t)].set(
+            v, mode="drop")
+
+        last_tok = v[a]
+        new_logits = jax.lax.dynamic_index_in_dim(
+            logits_v[0], a, 0, keepdims=False)[None]
+        new_hidden = jax.lax.dynamic_index_in_dim(
+            hidden_v[0], a, 0, keepdims=False)[None]
+        new_finished = finished | (last_tok == gen_cfg.eos_token_id)
+        return (cache, new_logits, new_hidden, prev_pos + e_count,
+                last_tok.reshape(1), new_finished, rng, out_tokens,
+                out_hidden, out_finished, hist, n + e_count)
+
+    inner_step = spec_step if spec_k else single_step
 
     def body(state):
         if not enable_chunk:
-            return single_step(state)
+            return inner_step(state)
         prev_token, finished, n = state[4], state[5], state[-1]
         do_chunk = (jnp.all((prev_token == vocab.boi) & ~finished)
                     & (n + n_img + 1 <= t))
-        return jax.lax.cond(do_chunk, chunk_step, single_step, state)
+        return jax.lax.cond(do_chunk, chunk_step, inner_step, state)
 
     def cond(state):
         finished, n = state[5], state[-1]
@@ -233,7 +354,7 @@ def generate_tokens(
 
     state = (cache, last_logits, last_hidden, last_pos,
              last_prompt_token.astype(jnp.int32), jnp.zeros((b,), bool), rng,
-             out_tokens0, out_hidden0, out_finished0, jnp.int32(0))
+             out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0))
     state = jax.lax.while_loop(cond, body, state)
     return {"tokens": state[7], "hidden": state[8], "finished": state[9]}
 
@@ -621,7 +742,8 @@ def generate_batch(
     else:
         out = generate_tokens(model, variables, prompt_embeds,
                               jnp.asarray(mask), jnp.asarray(last_tokens),
-                              rng, gen_cfg, vocab)
+                              rng, gen_cfg, vocab,
+                              prompt_ids=jnp.asarray(ids_padded))
         all_tokens = np.asarray(out["tokens"])
         row_hidden = [out["hidden"][i] for i in range(b)]
 
