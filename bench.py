@@ -70,8 +70,15 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
                      decode_steps: int = 128, num_layers: int = 40,
                      kv_quantization: str = "none",
                      quantization: str = "int8",
-                     scan_layers: bool = True):
-    """Greedy decode tokens/sec on the full 13B geometry, quantized weights."""
+                     scan_layers: bool = True,
+                     spec_k: int = 0):
+    """Greedy decode tokens/sec on the full 13B geometry, quantized weights.
+
+    spec_k > 0 measures n-gram speculative ROUNDS/sec instead: each scan
+    iteration runs the real drafting (_ngram_draft) + a (spec_k+1)-token
+    verify forward + the acceptance bookkeeping from generation.spec_step.
+    One round emits 1..spec_k+1 tokens depending on workload-dependent
+    acceptance, so the caller derives tokens/sec = rounds/sec x (1 + E[a])."""
     import numpy as np
     from flax import linen as nn
 
@@ -104,7 +111,8 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
         lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
     jax.block_until_ready(params)
 
-    total = prompt_len + decode_steps
+    width = 1 + spec_k                     # tokens per forward
+    total = prompt_len + decode_steps * width
 
     @jax.jit
     def run(params, prompt_ids, seed_token):
@@ -127,7 +135,39 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
                 prompt_len + t)
             return (cache, jnp.argmax(lg[:, 0], -1).astype(jnp.int32)), None
 
+        def spec_round(carry, t):
+            # the full per-round machinery from generation.spec_step: n-gram
+            # draft + (k+1)-token verify forward + acceptance bookkeeping
+            from seedx_tpu.models.generation import _ngram_draft
+            cache, token, hist, m = carry
+            k = spec_k
+            drafts = _ngram_draft(hist, m, token[0], k)
+            v = jnp.concatenate([token, drafts])
+            emb = model.apply({"params": params}, jnp.maximum(v, 0)[None],
+                              method="embed")
+            off = prompt_len + t * width
+            kv_valid = jnp.arange(total)[None, :] < off + width
+            pos = (off + jnp.arange(width))[None, :]
+            lg, _, cache = model.apply({"params": params}, emb, pos,
+                                       kv_valid, cache, off)
+            exp_next = jnp.argmax(lg[0], -1).astype(jnp.int32)   # [k+1]
+            a = jnp.sum(jnp.cumprod(
+                (drafts == exp_next[:k]).astype(jnp.int32)))
+            i_vec = jnp.arange(width)
+            hist = hist.at[jnp.where(i_vec <= a, m + i_vec,
+                                     hist.shape[0])].set(v, mode="drop")
+            nxt = jax.lax.dynamic_index_in_dim(exp_next, a, keepdims=False)
+            return (cache, nxt[None], hist, m + a + 1), a + 1
+
         first = jnp.argmax(logits[:, -1], -1).astype(jnp.int32) + seed_token
+        if spec_k:
+            hist0 = jnp.concatenate(
+                [prompt_ids[0].astype(jnp.int32),
+                 jnp.full((total - prompt_len,), -1, jnp.int32)])
+            (cache, last, _, _), emitted = jax.lax.scan(
+                spec_round, (cache, first, hist0, jnp.int32(prompt_len)),
+                jnp.arange(decode_steps))
+            return jnp.sum(last) + jnp.sum(emitted)
         (cache, last), _ = jax.lax.scan(step, (cache, first),
                                         jnp.arange(decode_steps))
         return jnp.sum(last)
@@ -749,6 +789,10 @@ def main():
                    choices=["int8", "int8_full", "int4"],
                    help="decode_13b weight quantization (default: int8 at "
                         "batch 1, int4 for batched serving)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="decode_13b: measure n-gram speculative ROUNDS/sec "
+                        "at this draft length (tokens/sec = rounds/sec x "
+                        "(1 + E[accepted]), workload-dependent)")
     p.add_argument("--unet-quant", default="none", choices=["none", "int8"],
                    help="sdxl_denoise UNet weights (int8 = the serving-fit "
                         "config that co-resides with the int4 LLM in 16G)")
@@ -846,9 +890,27 @@ def _run_metric(args):
         value = _best_of(
             lambda: bench_decode_13b(batch_size=args.batch,
                                      kv_quantization=kv,
-                                     quantization=quant), args.repeats)
+                                     quantization=quant,
+                                     spec_k=args.spec_k), args.repeats)
         name = f"llama13b_{quant}_decode" + (
             f"_b{args.batch}_kvint8" if args.batch != 1 else "")
+        if args.spec_k:
+            print(json.dumps({
+                "metric": name + f"_spec{args.spec_k}",
+                "value": round(value, 2),
+                "unit": "speculative rounds/sec/chip (draft + "
+                        f"{args.spec_k + 1}-token verify forward)",
+                "vs_baseline": None,
+                "derived": {
+                    # one round emits 1 + accepted tokens; acceptance is
+                    # workload-dependent (self-similar text accepts most
+                    # drafts), so report the guaranteed floor and the
+                    # all-accepted ceiling
+                    "tok_per_s_accept0": round(value, 2),
+                    "tok_per_s_ceiling": round(value * (args.spec_k + 1), 2),
+                },
+            }))
+            return
         print(json.dumps({
             "metric": name,
             "value": round(value, 2),

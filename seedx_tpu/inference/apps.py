@@ -50,13 +50,16 @@ def _prepare_image_prompt(rt: SeedXRuntime, image, instruction: str,
 
 def comprehend(rt: SeedXRuntime, image, question: str,
                prompt_style: str = "instruct",
-               max_new_tokens: int = 512) -> Dict[str, Any]:
-    """Image + question -> answer text (and any generated image features)."""
+               max_new_tokens: int = 512, spec_k: int = 0) -> Dict[str, Any]:
+    """Image + question -> answer text (and any generated image features).
+
+    spec_k > 0 enables exact n-gram speculative decoding (greedy only,
+    models/generation.py) — same tokens, fewer weight passes."""
     input_ids, cmp_mask, embeds, ecm, ppos = _prepare_image_prompt(
         rt, image, question, prompt_style)
     out = rt.generate(input_ids, image_embeds=embeds, embeds_cmp_mask=ecm,
                       ids_cmp_mask=cmp_mask, patch_positions=ppos,
-                      max_new_tokens=max_new_tokens)
+                      max_new_tokens=max_new_tokens, spec_k=spec_k)
     out["clean_text"] = prompts.strip_markup(out["text"])
     return out
 
@@ -75,10 +78,13 @@ def draw_boxes(image, boxes_pixels, width: int = 2):
 
 
 def ground(rt: SeedXRuntime, image, question: str,
-           max_new_tokens: int = 512) -> Dict[str, Any]:
+           max_new_tokens: int = 512, spec_k: int = 0) -> Dict[str, Any]:
     """Comprehension + bounding-box extraction + box rendering
-    (reference: eval_img2text_seed_x_i.py:182-231)."""
-    out = comprehend(rt, image, question, max_new_tokens=max_new_tokens)
+    (reference: eval_img2text_seed_x_i.py:182-231).  Grounding replies are
+    highly self-similar (``<box_start>..<box_end>`` markup) — prime
+    territory for ``spec_k``."""
+    out = comprehend(rt, image, question, max_new_tokens=max_new_tokens,
+                     spec_k=spec_k)
     boxes = prompts.extract_boxes(out["text"])
     out["boxes"] = boxes
     out["boxes_image"] = None
@@ -93,14 +99,14 @@ def ground(rt: SeedXRuntime, image, question: str,
 def text_to_image(rt: SeedXRuntime, caption: str, seed: int = 42,
                   num_inference_steps: int = 50,
                   max_new_tokens: int = 120,
-                  solver: str = "euler") -> Dict[str, Any]:
+                  solver: str = "euler", spec_k: int = 0) -> Dict[str, Any]:
     """Caption -> generated image (reference: eval_text2img_seed_x_i.py:85-94).
 
     The LLM is prompted to emit an image span; its 64 hidden states drive the
     SDXL adapter."""
     text = prompts.generation_prompt(caption)
     input_ids = [rt.tokenizer.bos_token_id] + rt.tokenizer.encode(text)
-    out = rt.generate(input_ids, max_new_tokens=max_new_tokens)
+    out = rt.generate(input_ids, max_new_tokens=max_new_tokens, spec_k=spec_k)
     images = None
     if out["has_img_output"] and rt.adapter is not None:
         images = rt.adapter.generate(out["img_gen_feat"], seed=seed,
@@ -113,7 +119,7 @@ def text_to_image(rt: SeedXRuntime, caption: str, seed: int = 42,
 def edit_image(rt: SeedXRuntime, image, instruction: str, seed: int = 42,
                num_inference_steps: int = 50,
                max_new_tokens: int = 120,
-               solver: str = "euler") -> Dict[str, Any]:
+               solver: str = "euler", spec_k: int = 0) -> Dict[str, Any]:
     """Instruction-guided editing (reference: eval_img2edit_seed_x_edit.py):
     source image enters BOTH the LLM (comprehension splice) and the SDXL
     UNet (condition latents)."""
@@ -121,7 +127,7 @@ def edit_image(rt: SeedXRuntime, image, instruction: str, seed: int = 42,
         rt, image, instruction)
     out = rt.generate(input_ids, image_embeds=embeds, embeds_cmp_mask=ecm,
                       ids_cmp_mask=cmp_mask, patch_positions=ppos,
-                      max_new_tokens=max_new_tokens)
+                      max_new_tokens=max_new_tokens, spec_k=spec_k)
     images = None
     if out["has_img_output"] and rt.adapter is not None:
         sampler = rt.adapter.cfg.sampler

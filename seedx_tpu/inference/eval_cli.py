@@ -86,6 +86,10 @@ def main(argv=None):
                    help="diffusion sampler: euler = reference parity; "
                         "dpmpp_2m = DPM-Solver++(2M) Karras (~15 steps "
                         "match euler's 50-step quality)")
+    p.add_argument("--spec_k", type=int, default=0,
+                   help="n-gram speculative decoding draft length (greedy "
+                        "B=1 only; 0 disables) — exact same tokens, fewer "
+                        "weight passes on self-similar replies")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out_dir", default="vis")
     p.add_argument("--debug", action="store_true")
@@ -101,11 +105,13 @@ def main(argv=None):
     if args.command == "img2text":
         out = apps.comprehend(rt, image, args.question,
                               prompt_style=args.prompt_style,
-                              max_new_tokens=args.max_new_tokens)
+                              max_new_tokens=args.max_new_tokens,
+                              spec_k=args.spec_k)
         print(out["clean_text"])
     elif args.command == "ground":
         out = apps.ground(rt, image, args.question,
-                          max_new_tokens=args.max_new_tokens)
+                          max_new_tokens=args.max_new_tokens,
+                          spec_k=args.spec_k)
         print(out["clean_text"])
         print("boxes:", out.get("boxes_pixels"))
         if out["boxes_image"] is not None:
@@ -117,7 +123,7 @@ def main(argv=None):
     elif args.command == "text2img":
         out = apps.text_to_image(rt, args.caption, seed=args.seed,
                                  num_inference_steps=args.num_inference_steps,
-                                 solver=args.solver)
+                                 solver=args.solver, spec_k=args.spec_k)
         print(out["text"])
         if out["images"] is not None:
             print("saved:", _save_images(out["images"], args.out_dir, "t2i"))
@@ -126,7 +132,7 @@ def main(argv=None):
     elif args.command == "edit":
         out = apps.edit_image(rt, image, args.instruction, seed=args.seed,
                               num_inference_steps=args.num_inference_steps,
-                              solver=args.solver)
+                              solver=args.solver, spec_k=args.spec_k)
         print(out["text"])
         if out["images"] is not None:
             print("saved:", _save_images(out["images"], args.out_dir, "edit"))
