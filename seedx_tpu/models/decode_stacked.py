@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 
 from seedx_tpu.ops.attention import dot_product_attention
+from seedx_tpu.ops.decode_attention import (_pick_block,
+                                            ragged_decode_attention)
 from seedx_tpu.ops.int4_matmul import int4_matmul_stacked
 from seedx_tpu.ops.norms import rms_norm
 from seedx_tpu.ops.rope import apply_rope
@@ -68,6 +70,20 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
     nh, hd = cfg.num_kv_heads, cfg.head_dim
     per_row = getattr(cache_index, "ndim", 0) == 1
     int8_kv = len(cache) == 4
+
+    # Ragged attention: stream only [start, end) KV rows per slot (the XLA
+    # path below reads the full max_len cache every step — at 8 slots x
+    # 1280 positions that read rivals the int4 weight stream itself).
+    max_len = cache[0].shape[2]
+    use_ragged = (
+        kv_valid is not None and cfg.decode_attention != "never"
+        and _pick_block(max_len) >= 8
+        and (cfg.decode_attention == "force"
+             or jax.default_backend() == "tpu"))
+    if use_ragged:
+        m32 = kv_valid.astype(jnp.int32)
+        starts = jnp.argmax(m32, axis=-1).astype(jnp.int32)
+        ends = starts + jnp.sum(m32, axis=-1)
 
     def proj(name: str, h2: jnp.ndarray, li: jnp.ndarray) -> jnp.ndarray:
         p = layer_params[name]
@@ -110,7 +126,6 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             from seedx_tpu.models.llama import quantize_kv
 
             ck, cv, ks, vs = cache
-            max_len = ck.shape[2]
             kq, ksc = quantize_kv(k)
             vq, vsc = quantize_kv(v)
             ck = store(ck, kq.reshape(b, nh * hd), li)
@@ -118,24 +133,41 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             ks = store(ks, ksc.reshape(b, nh), li)
             vs = store(vs, vsc.reshape(b, nh), li)
             cache = (ck, cv, ks, vs)
-            ckl = (_index(ck, li).reshape(b, max_len, nh, hd).astype(cfg.dtype)
-                   * _index(ks, li).reshape(b, max_len, nh, 1
-                                            ).astype(cfg.dtype))
-            cvl = (_index(cv, li).reshape(b, max_len, nh, hd).astype(cfg.dtype)
-                   * _index(vs, li).reshape(b, max_len, nh, 1
-                                            ).astype(cfg.dtype))
+            if use_ragged:
+                # the standing stacked buffers go to the kernel whole (a
+                # sliced pallas operand would copy the layer to HBM first);
+                # HBM reads stay int8 + tiny scales, window-bounded
+                attn = ragged_decode_attention(
+                    q[:, 0], ck, cv, starts, ends, k_scale=ks, v_scale=vs,
+                    layer=li, kv_heads=nh, interpret=interpret)
+                attn = attn.reshape(b, cfg.num_heads * hd)
+            else:
+                ckl = (_index(ck, li).reshape(b, max_len, nh, hd
+                                              ).astype(cfg.dtype)
+                       * _index(ks, li).reshape(b, max_len, nh, 1
+                                                ).astype(cfg.dtype))
+                cvl = (_index(cv, li).reshape(b, max_len, nh, hd
+                                              ).astype(cfg.dtype)
+                       * _index(vs, li).reshape(b, max_len, nh, 1
+                                                ).astype(cfg.dtype))
         else:
             ck, cv = cache
-            max_len = ck.shape[2]
             ck = store(ck, k.reshape(b, nh * hd), li)
             cv = store(cv, v.reshape(b, nh * hd), li)
             cache = (ck, cv)
-            ckl = _index(ck, li).reshape(b, max_len, nh, hd)
-            cvl = _index(cv, li).reshape(b, max_len, nh, hd)
+            if use_ragged:
+                attn = ragged_decode_attention(
+                    q[:, 0], ck, cv, starts, ends, layer=li, kv_heads=nh,
+                    interpret=interpret)
+                attn = attn.reshape(b, cfg.num_heads * hd)
+            else:
+                ckl = _index(ck, li).reshape(b, max_len, nh, hd)
+                cvl = _index(cv, li).reshape(b, max_len, nh, hd)
 
-        attn = dot_product_attention(q, ckl, cvl, kv_valid=kv_valid,
-                                     causal=False, impl="xla")
-        attn = attn.reshape(b, cfg.num_heads * hd)
+        if not use_ragged:
+            attn = dot_product_attention(q, ckl, cvl, kv_valid=kv_valid,
+                                         causal=False, impl="xla")
+            attn = attn.reshape(b, cfg.num_heads * hd)
         x2 = x2 + proj("o_proj", attn, li).astype(x2.dtype)
 
         ln2 = _index(layer_params["post_attention_layernorm"]["scale"], li)

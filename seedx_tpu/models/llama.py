@@ -61,6 +61,12 @@ class LlamaConfig:
     # "auto" = on TPU only; "force" = always (interpret-mode kernel off-TPU,
     # for parity tests); "never" = keep the scan path.
     stacked_decode: str = "auto"
+    # Ragged decode attention (ops/decode_attention.py) inside the stacked
+    # decode loop: stream ONLY each row's valid KV window [start, end) from
+    # HBM instead of the full max_len cache (XLA's seq==1 attention reads
+    # everything).  Batched serving reads ~mean(len)/max_len of the cache.
+    # Same "auto" | "force" | "never" semantics as stacked_decode.
+    decode_attention: str = "auto"
     attention_impl: str = "auto"
     remat: bool = True
     scan_layers: bool = True

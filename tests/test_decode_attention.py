@@ -1,0 +1,186 @@
+"""ragged_decode_attention vs the XLA attention path (exactness oracle)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedx_tpu.ops.attention import dot_product_attention
+from seedx_tpu.ops.decode_attention import ragged_decode_attention
+from seedx_tpu.models.llama import quantize_kv
+
+
+def _ref(q, k, v, starts, ends):
+    """XLA oracle: [B, 1, Hq, D] query over dense [B, S, Hkv, D] cache."""
+    s = k.shape[1]
+    kv_valid = ((jnp.arange(s)[None, :] >= starts[:, None])
+                & (jnp.arange(s)[None, :] < ends[:, None]))
+    out = dot_product_attention(q[:, None], k, v, kv_valid=kv_valid,
+                                causal=False, impl="xla")
+    return out[:, 0]
+
+
+def _rand(b=3, s=64, hq=4, hkv=4, d=32, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+    q = jax.random.normal(ks[0], (b, hq, d), dtype)
+    k = jax.random.normal(ks[1], (b, s, hkv, d), dtype)
+    v = jax.random.normal(ks[2], (b, s, hkv, d), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("starts,ends", [
+    ([0, 0, 0], [64, 64, 64]),           # full windows
+    ([0, 5, 17], [64, 40, 18]),          # ragged, incl. a 1-token row
+    ([3, 3, 3], [11, 32, 64]),           # left-padded prompts
+])
+def test_matches_xla_windows(starts, ends):
+    q, k, v = _rand()
+    b, s, hkv, d = k.shape
+    st = jnp.asarray(starts, jnp.int32)
+    en = jnp.asarray(ends, jnp.int32)
+    got = ragged_decode_attention(q, k.reshape(b, s, -1),
+                                  v.reshape(b, s, -1), st, en,
+                                  kv_heads=hkv)
+    want = _ref(q, k, v, st, en)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gqa_grouped_heads():
+    q, k, v = _rand(b=2, s=32, hq=8, hkv=2, d=16, seed=1)
+    b, s, hkv, d = k.shape
+    st = jnp.asarray([0, 4], jnp.int32)
+    en = jnp.asarray([32, 20], jnp.int32)
+    got = ragged_decode_attention(q, k.reshape(b, s, -1),
+                                  v.reshape(b, s, -1), st, en,
+                                  kv_heads=hkv)
+    want = _ref(q, k, v, st, en)   # dot_product_attention repeats kv heads
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_int8_cache_with_scales():
+    q, k, v = _rand(b=2, s=48, hq=4, hkv=4, d=32, seed=2)
+    b, s, hkv, d = k.shape
+    kq, ksc = quantize_kv(k)     # [b, s, hkv, d] int8, [b, s, hkv, 1]
+    vq, vsc = quantize_kv(v)
+    st = jnp.asarray([0, 9], jnp.int32)
+    en = jnp.asarray([48, 30], jnp.int32)
+    got = ragged_decode_attention(
+        q, kq.reshape(b, s, -1), vq.reshape(b, s, -1), st, en,
+        k_scale=ksc.reshape(b, s, hkv), v_scale=vsc.reshape(b, s, hkv),
+        kv_heads=hkv)
+    kd = (kq.astype(jnp.float32) * ksc).astype(jnp.float32)
+    vd = (vq.astype(jnp.float32) * vsc).astype(jnp.float32)
+    want = _ref(q, kd, vd, st, en)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_bf16_cache_fp32_accumulation():
+    q, k, v = _rand(b=2, s=32, dtype=jnp.bfloat16, seed=3)
+    b, s, hkv, d = k.shape
+    st = jnp.asarray([0, 0], jnp.int32)
+    en = jnp.asarray([32, 7], jnp.int32)
+    got = ragged_decode_attention(q, k.reshape(b, s, -1),
+                                  v.reshape(b, s, -1), st, en,
+                                  kv_heads=hkv)
+    want = _ref(q, k, v, st, en)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_paged_pool_matches_dense():
+    """Scatter the dense rows into a shuffled pool; block tables must
+    reproduce the dense result exactly."""
+    block = 16
+    q, k, v = _rand(b=2, s=64, hq=4, hkv=4, d=32, seed=4)
+    b, s, hkv, d = k.shape
+    n_tiles = s // block
+    rng = np.random.RandomState(0)
+    # physical pool: 2*b*n_tiles tiles, logical tiles scattered randomly
+    pool_tiles = 2 * b * n_tiles
+    perm = rng.permutation(pool_tiles)[:b * n_tiles].reshape(b, n_tiles)
+    kf = np.asarray(k.reshape(b, s, -1))
+    vf = np.asarray(v.reshape(b, s, -1))
+    k_pool = np.zeros((pool_tiles * block, hkv * d), np.float32)
+    v_pool = np.zeros((pool_tiles * block, hkv * d), np.float32)
+    for i in range(b):
+        for j in range(n_tiles):
+            t = perm[i, j]
+            k_pool[t * block:(t + 1) * block] = kf[i, j * block:(j + 1) * block]
+            v_pool[t * block:(t + 1) * block] = vf[i, j * block:(j + 1) * block]
+    st = jnp.asarray([0, 10], jnp.int32)
+    en = jnp.asarray([64, 39], jnp.int32)
+    got = ragged_decode_attention(
+        q, jnp.asarray(k_pool), jnp.asarray(v_pool), st, en,
+        block_tables=jnp.asarray(perm, jnp.int32), kv_heads=hkv,
+        block=block)
+    want = _ref(q, k, v, st, en)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_stacked_layer_cache():
+    """[L, B, S, F] stacked cache + a traced layer index must equal the
+    dense per-layer call (the decode_layers_stacked integration shape)."""
+    L = 3
+    qs, ks_, vs_ = zip(*[_rand(b=2, s=32, hq=4, hkv=4, d=16, seed=10 + i)
+                         for i in range(L)])
+    b, s, hkv, d = ks_[0].shape
+    k_stack = jnp.stack([k.reshape(b, s, -1) for k in ks_])
+    v_stack = jnp.stack([v.reshape(b, s, -1) for v in vs_])
+    st = jnp.asarray([0, 6], jnp.int32)
+    en = jnp.asarray([32, 19], jnp.int32)
+
+    @jax.jit
+    def run(li):
+        return ragged_decode_attention(qs[1], k_stack, v_stack, st, en,
+                                       layer=li, kv_heads=hkv)
+
+    for li in range(L):
+        got = run(jnp.int32(li))
+        want = _ref(qs[1], ks_[li], vs_[li], st, en)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_stacked_int8_layer_cache():
+    L = 2
+    q, k0, v0 = _rand(b=2, s=32, hq=2, hkv=2, d=16, seed=20)
+    _, k1, v1 = _rand(b=2, s=32, hq=2, hkv=2, d=16, seed=21)
+    b, s, hkv, d = k0.shape
+    kq0, ks0 = quantize_kv(k0)
+    kq1, ks1 = quantize_kv(k1)
+    vq0, vs0 = quantize_kv(v0)
+    vq1, vs1 = quantize_kv(v1)
+    k_stack = jnp.stack([kq0.reshape(b, s, -1), kq1.reshape(b, s, -1)])
+    v_stack = jnp.stack([vq0.reshape(b, s, -1), vq1.reshape(b, s, -1)])
+    ks_stack = jnp.stack([ks0.reshape(b, s, hkv), ks1.reshape(b, s, hkv)])
+    vs_stack = jnp.stack([vs0.reshape(b, s, hkv), vs1.reshape(b, s, hkv)])
+    st = jnp.asarray([0, 2], jnp.int32)
+    en = jnp.asarray([30, 32], jnp.int32)
+    got = ragged_decode_attention(q, k_stack, v_stack, st, en,
+                                  k_scale=ks_stack, v_scale=vs_stack,
+                                  layer=jnp.int32(1), kv_heads=hkv)
+    kd = (kq1.astype(jnp.float32) * ks1)
+    vd = (vq1.astype(jnp.float32) * vs1)
+    want = _ref(q, kd, vd, st, en)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_odd_cache_length_picks_divisor_block():
+    # s=40 -> block falls back to 8; still exact
+    q, k, v = _rand(b=2, s=40, hq=2, hkv=2, d=16, seed=5)
+    b, s, hkv, d = k.shape
+    st = jnp.asarray([0, 3], jnp.int32)
+    en = jnp.asarray([40, 21], jnp.int32)
+    got = ragged_decode_attention(q, k.reshape(b, s, -1),
+                                  v.reshape(b, s, -1), st, en,
+                                  kv_heads=hkv)
+    want = _ref(q, k, v, st, en)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

@@ -335,11 +335,13 @@ def test_adapter_quantize_unet_generates():
     assert np.mean(np.abs(np.asarray(out) - np.asarray(ref))) < 0.05
 
 
-def _int4_debug_model(stacked_decode, lora_rank=0, kv_quantization="none"):
+def _int4_debug_model(stacked_decode, lora_rank=0, kv_quantization="none",
+                      decode_attention="auto"):
     cfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
                       num_heads=4, num_kv_heads=4, quantization="int4",
                       lora_rank=lora_rank, kv_quantization=kv_quantization,
-                      stacked_decode=stacked_decode, remat=False)
+                      stacked_decode=stacked_decode,
+                      decode_attention=decode_attention, remat=False)
     return cfg, LlamaForCausalLM(cfg)
 
 
@@ -425,6 +427,72 @@ def test_stacked_decode_matches_scan_lora_int8kv_perrow(monkeypatch):
     out_toks, _ = _decode_tokens(model_f, cfg_f, params, prompt, 3,
                                  per_row_offset=True)
     np.testing.assert_array_equal(ref_toks, out_toks)
+
+
+def test_stacked_decode_ragged_attention_parity(monkeypatch):
+    """decode_attention="force" (the ragged Pallas window kernel,
+    ops/decode_attention.py) matches the XLA attention inside the same
+    stacked loop — bf16 AND int8 KV, per-row offsets.
+
+    Teacher-forced logits comparison, not greedy tokens: the kernel keeps
+    the p@v accumulation in fp32 where the XLA path rounds probs to bf16
+    first, so logits agree only to ~1 bf16 ulp of the hidden state and a
+    greedy near-tie may legitimately flip."""
+    from seedx_tpu.models.llama import init_kv_cache
+    from seedx_tpu.ops import int4_matmul as m
+    monkeypatch.setattr(m, "FORCE_KERNEL", True)
+
+    def forced_logits(model, cfg, params, prompt, forced):
+        B, S = prompt.shape
+        steps = forced.shape[1]
+        total = S + steps
+        cache = init_kv_cache(cfg, B, total)
+        pos = jnp.broadcast_to(jnp.arange(S), (B, S))
+        embeds = model.apply({"params": params}, prompt, method="embed")
+        kv_valid = jnp.arange(total)[None, :] < S
+        logits, _, cache = model.apply({"params": params}, embeds, pos,
+                                       kv_valid, cache, 0)
+        lgs = [np.asarray(logits[:, -1], np.float32)]
+        for t in range(steps - 1):
+            idx = S + t
+            emb = model.apply({"params": params}, forced[:, t][:, None],
+                              method="embed")
+            kv_valid = jnp.arange(total)[None, :] < idx + 1
+            lg, _, cache = model.apply(
+                {"params": params}, emb, jnp.full((B, 1), idx), kv_valid,
+                cache, jnp.full((B,), idx, jnp.int32))
+            lgs.append(np.asarray(lg[:, 0], np.float32))
+        return np.stack(lgs, 1), cache
+
+    for kvq in ("none", "int8"):
+        cfg_x, model_x = _int4_debug_model("force", kv_quantization=kvq,
+                                           decode_attention="never")
+        cfg_r, model_r = _int4_debug_model("force", kv_quantization=kvq,
+                                           decode_attention="force")
+        params = _int4_debug_params(model_x, cfg_x)
+        prompt = jax.random.randint(jax.random.PRNGKey(3), (2, 12), 0,
+                                    cfg_x.vocab_size)
+        forced = jax.random.randint(jax.random.PRNGKey(4), (2, 4), 0,
+                                    cfg_x.vocab_size)
+        ref_lg, ref_cache = forced_logits(model_x, cfg_x, params, prompt,
+                                          forced)
+        out_lg, out_cache = forced_logits(model_r, cfg_r, params, prompt,
+                                          forced)
+        rms = float(np.sqrt(np.mean(ref_lg ** 2)))
+        assert np.abs(ref_lg - out_lg).max() < max(0.05, 0.01 * rms), kvq
+        if kvq == "int8":
+            # compare DEQUANTIZED K/V: raw code cells flip by ±2 when the
+            # bf16-rounded scale itself moves an ulp between the paths
+            rk = np.asarray(ref_cache[0], np.float32) * np.repeat(
+                np.asarray(ref_cache[2], np.float32), cfg_x.head_dim, -1)
+            ok = np.asarray(out_cache[0], np.float32) * np.repeat(
+                np.asarray(out_cache[2], np.float32), cfg_x.head_dim, -1)
+            np.testing.assert_allclose(rk, ok, atol=0.1)
+        else:
+            for r, o in zip(ref_cache, out_cache):
+                np.testing.assert_allclose(np.asarray(r, np.float32),
+                                           np.asarray(o, np.float32),
+                                           atol=2e-2)
 
 
 def test_int8_vit_matches_fp():
