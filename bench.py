@@ -590,7 +590,7 @@ def bench_train_step(batch_size: int = 2, seq: int = 768, num_layers: int = 6,
 
 def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
                            prompt_len: int = 120, max_new_tokens: int = 128,
-                           num_layers: int = 40):
+                           num_layers: int = 40, paged: bool = False):
     """Continuous-batching serving throughput on the full 13B geometry
     (int4 weights + int8 KV): heterogeneous per-request budgets (1/4, 1/2,
     1x max_new_tokens round-robin) so slots free at different times and the
@@ -661,9 +661,15 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
         return reqs
 
     def drain(n):
+        # paged: 16 slots share the KV memory 8 dense slots would reserve
+        # (requests hold ceil((p_len+budget)/128) tiles, budgets are mixed,
+        # so mean occupancy is well under the dense worst case)
+        kw = (dict(paged=True, page_size=128,
+                   pool_tokens=8 * (256 + max_new_tokens))
+              if paged else {})
         eng = ContinuousEngine(rt, slots=slots,
                                max_new_tokens=max_new_tokens,
-                               chunk_steps=32, prompt_buckets=(256,))
+                               chunk_steps=32, prompt_buckets=(256,), **kw)
         eng.warmup()          # precompile the (admission-batch, bucket) grid
         for req, budget in make_requests(n):
             eng.submit(req, max_new_tokens=budget)
@@ -793,6 +799,9 @@ def main():
                    help="decode_13b: measure n-gram speculative ROUNDS/sec "
                         "at this draft length (tokens/sec = rounds/sec x "
                         "(1 + E[accepted]), workload-dependent)")
+    p.add_argument("--paged", action="store_true",
+                   help="serve_continuous: paged KV — 16 slots sharing the "
+                        "KV pool 8 dense slots would reserve")
     p.add_argument("--unet-quant", default="none", choices=["none", "int8"],
                    help="sdxl_denoise UNet weights (int8 = the serving-fit "
                         "config that co-resides with the int4 LLM in 16G)")
@@ -862,11 +871,16 @@ def _run_metric(args):
             "vs_baseline": None,
         }))
     elif args.metric == "serve_continuous":
-        value = _best_of(bench_serve_continuous, args.repeats)
+        slots = 16 if args.paged else 8
+        value = _best_of(lambda: bench_serve_continuous(
+            slots=slots, paged=args.paged), args.repeats)
         print(json.dumps({
-            "metric": "llama13b_int4_serve_continuous_8slot",
+            "metric": ("llama13b_int4_serve_paged_16slot" if args.paged
+                       else "llama13b_int4_serve_continuous_8slot"),
             "value": round(value, 2),
-            "unit": "tokens/sec/chip (heterogeneous budgets, rolling admission)",
+            "unit": "tokens/sec/chip (heterogeneous budgets, rolling "
+                    "admission" + (", 16 slots in 8 dense slots' KV memory)"
+                                   if args.paged else ")"),
             "vs_baseline": None,
         }))
     elif args.metric == "sdxl_denoise":

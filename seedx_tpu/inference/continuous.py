@@ -40,7 +40,7 @@ from seedx_tpu.models.agent import ContinuousLVLM
 from seedx_tpu.models.generation import (GenerationConfig, _sample,
                                          _trim_and_spans, build_result,
                                          constrain_image_tokens)
-from seedx_tpu.models.llama import init_kv_cache
+from seedx_tpu.models.llama import init_kv_cache, init_paged_kv_pool
 from seedx_tpu.text.vocab import MultimodalVocab
 
 
@@ -92,13 +92,52 @@ def _admit(state, row, mini_cache, src_row, p_len, last_logits, last_hidden,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "gen_cfg", "vocab", "k"),
+    static_argnames=("page",),
+    donate_argnames=("state",))
+def _admit_paged(state, row, mini_cache, src_row, p_len, last_logits,
+                 last_hidden, last_token, budget, tile_ids, page: int):
+    """Paged admission: copy the prefilled mini-cache into pool tiles and
+    point slot ``row``'s block-table row at them.
+
+    tile_ids: [s_max // page] int32 — physical pool tiles covering the
+    slot's whole logical range; entries the request doesn't need hold 0
+    (the reserved dump tile, never referenced by a live window).  Copies
+    cover the prompt bucket; allocated tiles beyond it stay uninitialised
+    (decode writes each row before the window exposes it)."""
+    n_copy = mini_cache[0].shape[2] // page
+
+    def splice(pool, minis):
+        mini = jax.lax.dynamic_slice_in_dim(minis, src_row, 1, axis=1)[:, 0]
+        for t in range(n_copy):           # [L, bucket, f] -> pool tiles
+            blk = jax.lax.dynamic_slice_in_dim(mini, t * page, page, axis=1)
+            pool = jax.lax.dynamic_update_slice(
+                pool, blk.astype(pool.dtype), (0, tile_ids[t] * page, 0))
+        return pool
+
+    state = dict(state)
+    state["cache"] = jax.tree.map(splice, state["cache"], mini_cache)
+    state["tables"] = state["tables"].at[row].set(tile_ids)
+    upd = lambda buf, v: buf.at[row].set(jnp.asarray(v, buf.dtype))
+    state["pos"] = upd(state["pos"], p_len)
+    state["length"] = upd(state["length"], p_len)
+    state["n"] = upd(state["n"], jnp.int32(0))
+    state["prev_logits"] = upd(state["prev_logits"], last_logits[src_row])
+    state["prev_hidden"] = upd(state["prev_hidden"], last_hidden[src_row])
+    state["prev_token"] = upd(state["prev_token"], last_token)
+    state["running"] = upd(state["running"], True)
+    state["budget"] = upd(state["budget"], budget)
+    state["out_tokens"] = state["out_tokens"].at[row].set(0)
+    return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "vocab", "k", "s_max"),
     donate_argnames=("state",))
 def _decode_chunk(model, variables, state, gen_cfg: GenerationConfig,
-                  vocab: MultimodalVocab, k: int):
+                  vocab: MultimodalVocab, k: int, s_max: int):
     """Advance every running slot by up to ``k`` greedy steps."""
     b, t = state["out_tokens"].shape
-    s_max = state["cache"][0].shape[2]
     n_img = gen_cfg.num_img_gen_tokens
     rows = jnp.arange(b)
     hid_dtype = state["out_hidden"].dtype
@@ -137,7 +176,7 @@ def _decode_chunk(model, variables, state, gen_cfg: GenerationConfig,
         kv_valid = jnp.arange(s_max)[None, :] <= pos[:, None]
         logits, hidden, cache = model.apply(
             variables, embeds, pos[:, None], kv_valid, state["cache"], pos,
-            method="llm_step")
+            method="llm_step", block_tables=state.get("tables"))
 
         keep = lambda new, old: jnp.where(
             running.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
@@ -177,7 +216,17 @@ class ContinuousEngine:
                  chunk_steps: int = 16,
                  prompt_buckets=(128, 256, 512, 1024),
                  do_sample: bool = False, temperature: float = 0.7,
-                 top_p: float = 0.5, seed: int = 0):
+                 top_p: float = 0.5, seed: int = 0,
+                 paged: bool = False, page_size: int = 128,
+                 pool_tokens: int = 0):
+        """``paged=True`` replaces the dense per-slot KV reservation
+        (slots x (max_bucket + max_new_tokens) rows) with a shared tile
+        pool + per-slot block tables (vLLM-style): requests only hold
+        ceil((p_len + budget) / page_size) tiles, so many short requests
+        fit where dense slots reserve worst-case, and ``pool_tokens``
+        (default: the dense footprint) sizes memory independently of the
+        slot count.  Requires the int4 stacked decode path with ragged
+        attention (models/decode_stacked.py paged mode)."""
         self.rt = rt
         self.model: ContinuousLVLM = rt.agent
         self.variables = {"params": rt.agent_params}
@@ -203,8 +252,27 @@ class ContinuousEngine:
         t = max_new_tokens
         s_max = max(self.gen_cfg.prompt_buckets) + t
         self._s_max = s_max
+        self.paged = paged
+        if paged:
+            if cfg.quantization != "int4" or cfg.decode_attention == "never":
+                raise ValueError("paged KV requires quantization='int4' "
+                                 "(stacked decode) with decode_attention on")
+            if s_max % page_size or any(b % page_size
+                                        for b in self.gen_cfg.prompt_buckets):
+                raise ValueError("page_size must divide every prompt bucket "
+                                 "and max bucket + max_new_tokens")
+            self.page = page_size
+            n_tiles = max(pool_tokens or slots * s_max, 2 * page_size
+                          ) // page_size
+            self._pool_tiles = n_tiles
+            # tile 0 is the reserved dump target for unused copy slots
+            self._free_tiles = list(range(1, n_tiles))
+            self._slot_tiles: List[Optional[list]] = [None] * slots
+            cache = init_paged_kv_pool(cfg, n_tiles * page_size)
+        else:
+            cache = init_kv_cache(cfg, slots, s_max)
         self.state = {
-            "cache": init_kv_cache(cfg, slots, s_max),
+            "cache": cache,
             "pos": jnp.zeros((slots,), jnp.int32),
             "length": jnp.zeros((slots,), jnp.int32),
             "n": jnp.zeros((slots,), jnp.int32),
@@ -219,6 +287,9 @@ class ContinuousEngine:
             "out_tokens": jnp.zeros((slots, t), jnp.int32),
             "out_hidden": jnp.zeros((slots, t, cfg.hidden_size), cfg.dtype),
         }
+        if paged:
+            self.state["tables"] = jnp.zeros((slots, s_max // page_size),
+                                             jnp.int32)
 
     def warmup(self, buckets=None):
         """Precompile the admission grid: one batched prefill AND one admit
@@ -241,9 +312,20 @@ class ContinuousEngine:
             for bucket in buckets:
                 minis, lgs, lhs = self._prefill_group([dummy] * bb, bucket)
                 if free is not None:
-                    self.state = _admit(
-                        self.state, jnp.int32(free), minis, jnp.int32(0),
-                        jnp.int32(2), lgs, lhs, jnp.int32(2), jnp.int32(0))
+                    if self.paged:
+                        # all-zero table: every copy lands on the reserved
+                        # dump tile, never referenced by a live window
+                        ids = jnp.zeros((self._s_max // self.page,),
+                                        jnp.int32)
+                        self.state = _admit_paged(
+                            self.state, jnp.int32(free), minis, jnp.int32(0),
+                            jnp.int32(2), lgs, lhs, jnp.int32(2),
+                            jnp.int32(0), ids, page=self.page)
+                    else:
+                        self.state = _admit(
+                            self.state, jnp.int32(free), minis, jnp.int32(0),
+                            jnp.int32(2), lgs, lhs, jnp.int32(2),
+                            jnp.int32(0))
                     self.state = dict(
                         self.state,
                         running=self.state["running"].at[free].set(False))
@@ -270,6 +352,12 @@ class ContinuousEngine:
         self._count += 1
         budget = min(max_new_tokens or self.gen_cfg.max_new_tokens,
                      self.gen_cfg.max_new_tokens)
+        if self.paged:
+            n_t = -(-(len(request["input_ids"]) + budget) // self.page)
+            if n_t > self._pool_tiles - 1:
+                raise ValueError(
+                    f"request needs {n_t} KV tiles but the pool has "
+                    f"{self._pool_tiles - 1}; raise pool_tokens")
         self._pending.append((rid, request, budget))
         return rid
 
@@ -323,12 +411,28 @@ class ContinuousEngine:
         return _prefill(self.model, self.variables, embeds,
                         jnp.asarray(p_lens), bucket)
 
+    def _tiles_needed(self, request, budget) -> int:
+        return -(-(len(request["input_ids"]) + budget) // self.page)
+
     def _admit_pending(self):
         free = [i for i, r in enumerate(self._slot_req) if r is None]
         if not free or not self._pending:
             return
         take, self._pending = (self._pending[:len(free)],
                                self._pending[len(free):])
+        if self.paged:
+            # best-effort FCFS: defer requests the tile pool can't hold yet
+            # (their tiles free as running slots harvest)
+            admitted, deferred, avail = [], [], len(self._free_tiles)
+            for item in take:
+                n_t = self._tiles_needed(item[1], item[2])
+                if n_t <= avail:
+                    avail -= n_t
+                    admitted.append(item)
+                else:
+                    deferred.append(item)
+            self._pending = deferred + self._pending
+            take = admitted
         by_bucket: Dict[int, list] = {}
         for item in take:
             p_len = len(item[1]["input_ids"])
@@ -340,10 +444,23 @@ class ContinuousEngine:
                                                   bucket)
             for j, (rid, request, budget) in enumerate(items):
                 row = free.pop(0)
-                self.state = _admit(
-                    self.state, jnp.int32(row), minis, jnp.int32(j),
-                    jnp.int32(len(request["input_ids"])), lgs, lhs,
-                    jnp.int32(request["input_ids"][-1]), jnp.int32(budget))
+                if self.paged:
+                    n_t = self._tiles_needed(request, budget)
+                    tiles = [self._free_tiles.pop() for _ in range(n_t)]
+                    self._slot_tiles[row] = tiles
+                    ids = np.zeros((self._s_max // self.page,), np.int32)
+                    ids[:n_t] = tiles
+                    self.state = _admit_paged(
+                        self.state, jnp.int32(row), minis, jnp.int32(j),
+                        jnp.int32(len(request["input_ids"])), lgs, lhs,
+                        jnp.int32(request["input_ids"][-1]),
+                        jnp.int32(budget), jnp.asarray(ids), page=self.page)
+                else:
+                    self.state = _admit(
+                        self.state, jnp.int32(row), minis, jnp.int32(j),
+                        jnp.int32(len(request["input_ids"])), lgs, lhs,
+                        jnp.int32(request["input_ids"][-1]),
+                        jnp.int32(budget))
                 self._slot_req[row] = rid
 
     def _harvest(self):
@@ -379,19 +496,35 @@ class ContinuousEngine:
             self._slot_req[i] = None
             self._completed += 1
             self._generated_tokens += len(tokens)
+            if self.paged and self._slot_tiles[i]:
+                self._free_tiles.extend(self._slot_tiles[i])
+                self._slot_tiles[i] = None
+        if self.paged:
+            # retarget harvested rows at the dump tile: a frozen slot keeps
+            # issuing (masked-garbage) KV writes every chunk, and its freed
+            # tiles may be reallocated to a live request before this slot
+            # is re-admitted
+            self.state = dict(
+                self.state,
+                tables=self.state["tables"].at[
+                    jnp.asarray(done_rows, jnp.int32)].set(0))
 
     # ---- driving ---------------------------------------------------------
 
     def stats(self) -> Dict[str, Any]:
         """Engine counters for serving observability (host values only —
         reading them never blocks on the device)."""
-        return {"submitted": self._count,
-                "pending": len(self._pending),
-                "active_slots": sum(r is not None for r in self._slot_req),
-                "slots": self.slots,
-                "completed": self._completed,
-                "generated_tokens": self._generated_tokens,
-                "chunks": self._chunks}
+        out = {"submitted": self._count,
+               "pending": len(self._pending),
+               "active_slots": sum(r is not None for r in self._slot_req),
+               "slots": self.slots,
+               "completed": self._completed,
+               "generated_tokens": self._generated_tokens,
+               "chunks": self._chunks}
+        if self.paged:
+            out["kv_tiles_free"] = len(self._free_tiles)
+            out["kv_tiles_total"] = self._pool_tiles - 1
+        return out
 
     def step(self) -> int:
         """Admit -> one decode chunk -> harvest.  Returns #results ready."""
@@ -399,7 +532,7 @@ class ContinuousEngine:
         if any(r is not None for r in self._slot_req):
             self.state = _decode_chunk(self.model, self.variables, self.state,
                                        self.gen_cfg, self.vocab,
-                                       self.chunk_steps)
+                                       self.chunk_steps, self._s_max)
             self._chunks += 1
         self._harvest()
         return len(self._results)
@@ -407,6 +540,15 @@ class ContinuousEngine:
     def run(self) -> Dict[int, Dict[str, Any]]:
         """Drain the queue; returns {request_id: result}."""
         while self._pending or any(r is not None for r in self._slot_req):
+            before_pending = len(self._pending)
+            before_chunks = self._chunks
             self.step()
+            if (len(self._pending) == before_pending and before_pending
+                    and self._chunks == before_chunks):
+                # complete no-op step: nothing admitted AND nothing ran —
+                # the pool can never satisfy the head request (submit()
+                # bounds single requests, so this is sizing/fragmentation)
+                raise RuntimeError(
+                    "paged KV pool too small to admit pending requests")
         out, self._results = self._results, {}
         return out

@@ -158,10 +158,12 @@ class ContinuousLVLM(nn.Module):
         return self.llm.embed(input_ids)
 
     def llm_step(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0):
+                 cache_index=0, block_tables=None):
         """One llm forward (prefill or decode step); returns
-        (logits, hidden, new_cache)."""
-        return self.llm(inputs_embeds, positions, kv_valid, cache, cache_index)
+        (logits, hidden, new_cache).  ``block_tables`` selects the paged-KV
+        decode path (see LlamaForCausalLM.__call__)."""
+        return self.llm(inputs_embeds, positions, kv_valid, cache,
+                        cache_index, block_tables)
 
     def decode_image_feats(self, hidden_states):
         """Output-resampler pass over generated hidden spans

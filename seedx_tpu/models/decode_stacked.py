@@ -48,7 +48,8 @@ def _index(tree_leaf: jnp.ndarray, li: jnp.ndarray) -> jnp.ndarray:
 def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
                           cos: jnp.ndarray, sin: jnp.ndarray,
                           kv_valid, cache: Tuple[jnp.ndarray, ...],
-                          cache_index, *, interpret: bool = False
+                          cache_index, *, block_tables=None,
+                          interpret: bool = False
                           ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
     """Run all decoder layers for ONE token against stacked quantized params.
 
@@ -59,9 +60,15 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
       x: [batch, 1, hidden] embeddings.
       cos/sin: rope tables [batch, 1, head_dim].
       kv_valid: [batch, kv_len] bool or None.
-      cache: stacked KV cache ([L, b, max_len, f] x2, + scales x2 if int8).
+      cache: stacked KV cache ([L, b, max_len, f] x2, + scales x2 if int8);
+        with ``block_tables`` a shared PAGED pool ([L, pool_rows, f] x2,
+        + [L, pool_rows, nh] scales x2).
       cache_index: scalar write offset, or [batch] int32 per-row offsets
         (continuous batching).
+      block_tables: [batch, n_tiles] int32 — logical KV tile j of row b
+        lives at pool tile ``block_tables[b, j]`` (tile size =
+        kv_len // n_tiles).  Paged rows require per-row offsets + ragged
+        attention (vLLM-style serving; no reference counterpart).
     Returns:
       (hidden [batch, 1, hidden], new cache) — same contract as the scan.
     """
@@ -70,16 +77,28 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
     nh, hd = cfg.num_kv_heads, cfg.head_dim
     per_row = getattr(cache_index, "ndim", 0) == 1
     int8_kv = len(cache) == 4
+    paged = block_tables is not None
 
     # Ragged attention: stream only [start, end) KV rows per slot (the XLA
     # path below reads the full max_len cache every step — at 8 slots x
     # 1280 positions that read rivals the int4 weight stream itself).
-    max_len = cache[0].shape[2]
-    use_ragged = (
-        kv_valid is not None and cfg.decode_attention != "never"
-        and _pick_block(max_len) >= 8
-        and (cfg.decode_attention == "force"
-             or jax.default_backend() == "tpu"))
+    if paged:
+        assert per_row and kv_valid is not None, \
+            "paged KV requires per-row offsets + kv windows"
+        assert cfg.decode_attention != "never", \
+            "paged KV requires the ragged attention kernel"
+        kv_len = kv_valid.shape[1]
+        n_tiles = block_tables.shape[1]
+        assert kv_len % n_tiles == 0
+        page = kv_len // n_tiles
+        use_ragged = True
+    else:
+        max_len = cache[0].shape[2]
+        use_ragged = (
+            kv_valid is not None and cfg.decode_attention != "never"
+            and _pick_block(max_len) >= 8
+            and (cfg.decode_attention == "force"
+                 or jax.default_backend() == "tpu"))
     if use_ragged:
         m32 = kv_valid.astype(jnp.int32)
         starts = jnp.argmax(m32, axis=-1).astype(jnp.int32)
@@ -99,10 +118,18 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             y = y + lscale * ((h2.astype(cfg.dtype) @ a) @ bm)
         return y
 
+    if paged:
+        # physical pool row of each slot's current write position
+        pool_rows = (block_tables[jnp.arange(b), cache_index // page] * page
+                     + cache_index % page)                       # [b]
+
     def store(buf: jnp.ndarray, val: jnp.ndarray, li: jnp.ndarray
               ) -> jnp.ndarray:
         """Write val [b, f] into stacked buf [L, b, max_len, f] at
-        (li, :, cache_index)."""
+        (li, :, cache_index) — or into the paged pool [L, pool_rows, f] at
+        each slot's block-table-resolved physical row."""
+        if paged:
+            return buf.at[li, pool_rows].set(val.astype(buf.dtype))
         if per_row:
             return buf.at[li, jnp.arange(b), cache_index].set(
                 val.astype(buf.dtype))
@@ -139,7 +166,8 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
                 # HBM reads stay int8 + tiny scales, window-bounded
                 attn = ragged_decode_attention(
                     q[:, 0], ck, cv, starts, ends, k_scale=ks, v_scale=vs,
-                    layer=li, kv_heads=nh, interpret=interpret)
+                    block_tables=block_tables, layer=li, kv_heads=nh,
+                    block=page if paged else 0, interpret=interpret)
                 attn = attn.reshape(b, cfg.num_heads * hd)
             else:
                 ckl = (_index(ck, li).reshape(b, max_len, nh, hd
@@ -157,8 +185,9 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             cache = (ck, cv)
             if use_ragged:
                 attn = ragged_decode_attention(
-                    q[:, 0], ck, cv, starts, ends, layer=li, kv_heads=nh,
-                    interpret=interpret)
+                    q[:, 0], ck, cv, starts, ends,
+                    block_tables=block_tables, layer=li, kv_heads=nh,
+                    block=page if paged else 0, interpret=interpret)
                 attn = attn.reshape(b, cfg.num_heads * hd)
             else:
                 ckl = _index(ck, li).reshape(b, max_len, nh, hd)

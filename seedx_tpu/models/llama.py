@@ -127,6 +127,22 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
     return jnp.zeros(flat, dtype), jnp.zeros(flat, dtype)
 
 
+def init_paged_kv_pool(cfg: LlamaConfig, pool_tokens: int,
+                       dtype=None) -> KVCache:
+    """Shared paged KV pool: same leaves as ``init_kv_cache`` minus the
+    per-slot batch axis — [layers, pool_tokens, kv_heads*head_dim] (+ scale
+    leaves).  Rows are handed out in fixed-size tiles via block tables
+    (inference/continuous.py paged mode; attention reads them through
+    ``ops/decode_attention.py``'s block-table DMA indexing)."""
+    dtype = dtype or cfg.dtype
+    flat = (cfg.num_layers, pool_tokens, cfg.num_kv_heads * cfg.head_dim)
+    if cfg.kv_quantization == "int8":
+        sshape = flat[:-1] + (cfg.num_kv_heads,)
+        return (jnp.zeros(flat, jnp.int8), jnp.zeros(flat, jnp.int8),
+                jnp.zeros(sshape, dtype), jnp.zeros(sshape, dtype))
+    return jnp.zeros(flat, dtype), jnp.zeros(flat, dtype)
+
+
 def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Symmetric per-(position, head) int8: scale = amax/127 over head_dim."""
     xf = x.astype(jnp.float32)
@@ -290,7 +306,7 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0):
+                 cache_index=0, block_tables=None):
         """Returns (hidden_states, new_cache)."""
         cfg = self.cfg
         x = inputs_embeds.astype(cfg.dtype)
@@ -303,6 +319,10 @@ class LlamaModel(nn.Module):
             and not self.is_initializing()
             and (cfg.stacked_decode == "force"
                  or jax.default_backend() == "tpu"))
+        if block_tables is not None and not use_stacked:
+            raise ValueError(
+                "paged KV (block_tables) requires the stacked int4 decode "
+                "path (quantization='int4', seq==1, stacked_decode on)")
         if use_stacked:
             from seedx_tpu.models.decode_stacked import decode_layers_stacked
 
@@ -311,6 +331,7 @@ class LlamaModel(nn.Module):
             x, new_cache = decode_layers_stacked(
                 cfg, layer_params, x, cos, sin, kv_valid, cache,
                 jnp.asarray(cache_index, jnp.int32),
+                block_tables=block_tables,
                 interpret=jax.default_backend() != "tpu")
         elif cfg.scan_layers:
             block = _ScannedBlock
@@ -371,11 +392,16 @@ class LlamaForCausalLM(nn.Module):
         return self(self.embed(input_ids), positions, kv_valid)
 
     def __call__(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0):
-        """Returns (logits, last_hidden_state, new_cache)."""
+                 cache_index=0, block_tables=None):
+        """Returns (logits, last_hidden_state, new_cache).
+
+        block_tables: [batch, n_tiles] int32 — the cache is a shared PAGED
+        pool ([L, pool_rows, f] leaves) and row b's logical KV tile j lives
+        at pool tile ``block_tables[b, j]``; requires the stacked int4
+        decode path + ragged attention (paged continuous serving)."""
         hidden, new_cache = self.model(
             inputs_embeds, positions, kv_valid=kv_valid, cache=cache,
-            cache_index=cache_index)
+            cache_index=cache_index, block_tables=block_tables)
         logits = self.lm_head(hidden)
         if self.cfg.padded_vocab_size != self.cfg.vocab_size:
             # vocab-padded TP layout: pad columns can never win argmax or

@@ -73,10 +73,14 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
     def src_at(hbm, j):
         """Slice [block, features] of logical tile j for this row.
 
-        stacked: hbm is [L, B, S, F] (one standing buffer for ALL layers —
-        slicing it OUTSIDE the kernel would materialise an HBM copy per
-        layer, the exact trap the stacked int4 weight kernel exists to
-        avoid); paged: hbm is a shared 2D pool; else dense [B, S, F]."""
+        stacked: hbm carries a leading layer axis (one standing buffer for
+        ALL layers — slicing it OUTSIDE the kernel would materialise an HBM
+        copy per layer, the exact trap the stacked int4 weight kernel
+        exists to avoid); paged: rows come from a shared pool addressed by
+        the block table.  Combined stacked+paged ([L, pool_rows, F]) is the
+        paged continuous-serving layout."""
+        if stacked and paged:
+            return hbm.at[layer_ref[0], pl.ds(row_of(j), block), :]
         if stacked:
             return hbm.at[layer_ref[0], b, pl.ds(row_of(j), block), :]
         if paged:
@@ -202,11 +206,11 @@ def ragged_decode_attention(
     groups = hq // kv_heads
     paged = block_tables is not None
     stacked = layer is not None
-    assert not (paged and stacked)
     if paged:
         s = block_tables.shape[1]   # logical tiles; block set by caller
         assert block > 0, "paged mode requires an explicit block size"
-        assert k_cache.ndim == 2, "paged pool is [pool_rows, Hkv*D]"
+        assert k_cache.ndim == (3 if stacked else 2), \
+            "paged pool is [pool_rows, Hkv*D] (+ leading layer axis)"
     else:
         s = k_cache.shape[-2]
         assert k_cache.ndim == (4 if stacked else 3)

@@ -172,6 +172,41 @@ def test_stacked_int8_layer_cache():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_paged_stacked_pool():
+    """[L, pool_rows, F] pool + block tables + layer scalar — the paged
+    continuous-serving layout."""
+    L, block = 2, 16
+    q, k0, v0 = _rand(b=2, s=32, hq=4, hkv=4, d=16, seed=30)
+    _, k1, v1 = _rand(b=2, s=32, hq=4, hkv=4, d=16, seed=31)
+    b, s, hkv, d = k0.shape
+    n_tiles = s // block
+    rng = np.random.RandomState(1)
+    pool_tiles = 2 * b * n_tiles
+    perm = rng.permutation(pool_tiles)[:b * n_tiles].reshape(b, n_tiles)
+    k_pool = np.zeros((L, pool_tiles * block, hkv * d), np.float32)
+    v_pool = np.zeros((L, pool_tiles * block, hkv * d), np.float32)
+    for li, (kk, vv) in enumerate([(k0, v0), (k1, v1)]):
+        kf = np.asarray(kk.reshape(b, s, -1))
+        vf = np.asarray(vv.reshape(b, s, -1))
+        for i in range(b):
+            for j in range(n_tiles):
+                t = perm[i, j]
+                k_pool[li, t * block:(t + 1) * block] = \
+                    kf[i, j * block:(j + 1) * block]
+                v_pool[li, t * block:(t + 1) * block] = \
+                    vf[i, j * block:(j + 1) * block]
+    st = jnp.asarray([0, 7], jnp.int32)
+    en = jnp.asarray([32, 25], jnp.int32)
+    for li, (kk, vv) in enumerate([(k0, v0), (k1, v1)]):
+        got = ragged_decode_attention(
+            q, jnp.asarray(k_pool), jnp.asarray(v_pool), st, en,
+            block_tables=jnp.asarray(perm, jnp.int32),
+            layer=jnp.int32(li), kv_heads=hkv, block=block)
+        want = _ref(q, kk, vv, st, en)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+
 def test_odd_cache_length_picks_divisor_block():
     # s=40 -> block falls back to 8; still exact
     q, k, v = _rand(b=2, s=40, hq=2, hkv=2, d=16, seed=5)
