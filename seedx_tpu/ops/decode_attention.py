@@ -71,21 +71,26 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
         return j * block
 
     def src_at(hbm, j):
-        """Slice [block, features] of logical tile j for this row.
+        """Slice [block, ...feature dims] of logical tile j for this row.
 
         stacked: hbm carries a leading layer axis (one standing buffer for
         ALL layers — slicing it OUTSIDE the kernel would materialise an HBM
         copy per layer, the exact trap the stacked int4 weight kernel
         exists to avoid); paged: rows come from a shared pool addressed by
-        the block table.  Combined stacked+paged ([L, pool_rows, F]) is the
-        paged continuous-serving layout."""
+        the block table.  Combined stacked+paged is the paged
+        continuous-serving layout.  Works for both the [.., S, Hkv, D]
+        caches and the [.., S, Hkv] scale tables."""
+        def full(*lead):
+            tail = (slice(None),) * (hbm.ndim - len(lead))
+            return hbm.at[lead + tail]
+
         if stacked and paged:
-            return hbm.at[layer_ref[0], pl.ds(row_of(j), block), :]
+            return full(layer_ref[0], pl.ds(row_of(j), block))
         if stacked:
-            return hbm.at[layer_ref[0], b, pl.ds(row_of(j), block), :]
+            return full(layer_ref[0], b, pl.ds(row_of(j), block))
         if paged:
-            return hbm.at[pl.ds(row_of(j), block), :]
-        return hbm.at[b, pl.ds(row_of(j), block), :]
+            return full(pl.ds(row_of(j), block))
+        return full(b, pl.ds(row_of(j), block))
 
     def k_dma(slot, j):
         return pltpu.make_async_copy(src_at(k_hbm, j), k_buf.at[slot],
@@ -114,7 +119,8 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
     def _():
         start_tile(0, j0)
 
-    # q: [kv_heads, G, D] fp32, pre-scaled
+    # q: [kv_heads, G, D] fp32, pre-scaled (leading-dim split only — no
+    # lane<->sublane relayout)
     q = (q_ref[0].astype(jnp.float32) * scale
          ).reshape(kv_heads, q_groups, head_dim)
 
@@ -129,35 +135,32 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
 
         k_dma(slot, j).wait()
         v_dma(slot, j).wait()
-        k = k_buf[slot].astype(jnp.float32).reshape(block, kv_heads,
-                                                    head_dim)
-        v = v_buf[slot].astype(jnp.float32).reshape(block, kv_heads,
-                                                    head_dim)
+        k = k_buf[slot].astype(jnp.float32)      # [block, Hkv, D]
+        v = v_buf[slot].astype(jnp.float32)
         if int8:
             ks_dma(slot, j).wait()
             vs_dma(slot, j).wait()
             k = k * ks_buf[slot].astype(jnp.float32)[:, :, None]
             v = v * vs_buf[slot].astype(jnp.float32)[:, :, None]
 
-        # scores [kv_heads, G, block]: per-head q . k, VPU mult+reduce
-        # (bandwidth-bound kernel; no MXU needed at q_len == 1)
-        kt = k.transpose(1, 0, 2)                       # [H, block, D]
-        s = jnp.sum(q[:, :, None, :] * kt[:, None, :, :], axis=-1)
+        # scores [block, kv_heads, G]: per-head q . k, VPU mult+reduce over
+        # leading/lane-aligned dims only — no transposes or lane<->sublane
+        # relayouts (bandwidth-bound kernel; no MXU needed at q_len == 1)
+        s = jnp.sum(q[None, :, :, :] * k[:, :, None, :], axis=-1)
 
         pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
         valid = (pos >= start) & (pos < end)            # [block]
-        s = jnp.where(valid[None, None, :], s, NEG_INF)
+        s = jnp.where(valid[:, None, None], s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        m_new = jnp.maximum(m, jnp.max(s, axis=0))      # [Hkv, G]
         # explicit guard: a fully-masked tile keeps m_new == NEG_INF and
         # exp(NEG_INF - NEG_INF) would be 1 — zero it instead
-        p = jnp.where(valid[None, None, :],
-                      jnp.exp(s - m_new[:, :, None]), 0.0)
+        p = jnp.where(valid[:, None, None],
+                      jnp.exp(s - m_new[None, :, :]), 0.0)
         alpha = jnp.where(m == NEG_INF, 0.0, jnp.exp(m - m_new))
-        l = l * alpha + jnp.sum(p, axis=-1)
-        vt = v.transpose(1, 0, 2)                       # [H, block, D]
-        pv = jnp.sum(p[:, :, :, None] * vt[:, None, :, :], axis=2)
-        acc = acc * alpha[:, :, None] + pv
+        l = l * alpha + jnp.sum(p, axis=0)
+        pv = jnp.sum(p[:, :, :, None] * v[:, :, None, :], axis=0)
+        acc = acc * alpha[:, :, None] + pv              # [Hkv, G, D]
         return m_new, l, acc
 
     shape_hg = (kv_heads, q_groups)
@@ -167,8 +170,7 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
     m, l, acc = jax.lax.fori_loop(0, j1 - j0, body, init)
 
     out = acc / jnp.maximum(l, 1e-30)[:, :, None]
-    o_ref[0] = out.reshape(kv_heads * q_groups * head_dim
-                           ).astype(o_ref.dtype)
+    o_ref[0] = out.reshape(kv_heads * q_groups, head_dim).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -235,10 +237,17 @@ def ragged_decode_attention(
         scale=float(scale), block=block, kv_heads=kv_heads, head_dim=d,
         q_groups=groups, paged=paged, int8=int8, stacked=stacked)
 
+    # split the flat feature dim into [kv_heads, d] OUTSIDE the kernel: a
+    # minor-dim row-major split is a free bitcast (the standing HBM buffer
+    # stays the operand), and the kernel then needs no lane<->sublane
+    # relayout after the DMA
+    k_cache = k_cache.reshape(k_cache.shape[:-1] + (kv_heads, d))
+    v_cache = v_cache.reshape(v_cache.shape[:-1] + (kv_heads, d))
+
     sdtype = k_scale.dtype if int8 else jnp.float32
     scratch = [
-        pltpu.VMEM((2, block, f), k_cache.dtype),
-        pltpu.VMEM((2, block, f), v_cache.dtype),
+        pltpu.VMEM((2, block, kv_heads, d), k_cache.dtype),
+        pltpu.VMEM((2, block, kv_heads, d), v_cache.dtype),
         pltpu.VMEM((2, block, kv_heads), sdtype),
         pltpu.VMEM((2, block, kv_heads), sdtype),
         pltpu.SemaphoreType.DMA((2, 4)),
@@ -247,13 +256,13 @@ def ragged_decode_attention(
         num_scalar_prefetch=4,          # starts, ends, tables, layer
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hq * d), lambda i, *_: (i, 0)),   # q (flat)
-            pl.BlockSpec(memory_space=pl.ANY),                 # k cache
-            pl.BlockSpec(memory_space=pl.ANY),                 # v cache
-            pl.BlockSpec(memory_space=pl.ANY),                 # k scales
-            pl.BlockSpec(memory_space=pl.ANY),                 # v scales
+            pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),  # q
+            pl.BlockSpec(memory_space=pl.ANY),                  # k cache
+            pl.BlockSpec(memory_space=pl.ANY),                  # v cache
+            pl.BlockSpec(memory_space=pl.ANY),                  # k scales
+            pl.BlockSpec(memory_space=pl.ANY),                  # v scales
         ],
-        out_specs=pl.BlockSpec((1, hq * d), lambda i, *_: (i, 0)),
+        out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
         scratch_shapes=scratch,
     )
     ks = k_scale if int8 else jnp.zeros((1, 1, 1), jnp.float32)
@@ -261,8 +270,8 @@ def ragged_decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hq * d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
         interpret=interpret,
     )(starts.astype(jnp.int32), ends.astype(jnp.int32), tables, layer_arr,
-      q.reshape(b, hq * d), k_cache, v_cache, ks, vs)
-    return out.reshape(b, hq, d)
+      q, k_cache, v_cache, ks, vs)
+    return out
