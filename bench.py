@@ -769,11 +769,14 @@ def chip_gauge(iters: int = 60) -> float:
         x, _ = jax.lax.scan(body, x, jnp.arange(iters))
         return jnp.sum(x.astype(jnp.float32))
 
+    # every timed call gets a DISTINCT input and is closed by its own
+    # host float() fetch — the tunnel dedupes byte-identical executions
+    # (CLAUDE.md), which would otherwise make the gauge absurdly fast
     float(run(x0))
     best = float("inf")
-    for _ in range(3):
+    for i in range(3):
         t0 = time.perf_counter()
-        float(run(x0))
+        float(run(x0 + (i + 1) * 0.25))   # 0.25 survives bf16 rounding
         best = min(best, (time.perf_counter() - t0) / iters)
     return 2 * 2048 * 1280 * 1280 / best / 1e12
 

@@ -353,7 +353,7 @@ class ContinuousEngine:
         budget = min(max_new_tokens or self.gen_cfg.max_new_tokens,
                      self.gen_cfg.max_new_tokens)
         if self.paged:
-            n_t = -(-(len(request["input_ids"]) + budget) // self.page)
+            n_t = self._tiles_needed(request, budget)
             if n_t > self._pool_tiles - 1:
                 raise ValueError(
                     f"request needs {n_t} KV tiles but the pool has "

@@ -34,6 +34,7 @@ import io
 import json
 import queue
 import threading
+from collections import OrderedDict
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional
 
@@ -82,7 +83,10 @@ class SeedXServer:
 
     def __init__(self, rt, max_batch_size: int = 8,
                  max_new_tokens: int = 512, num_inference_steps: int = 30,
-                 request_timeout: float = 600.0):
+                 request_timeout: float = 600.0, max_sessions: int = 8):
+        """max_sessions bounds live chat sessions (LRU eviction): each
+        session owns a preallocated device KV prefix cache — on the real
+        13B that is HBM-scale state, so unbounded sessions OOM the chip."""
         from seedx_tpu.inference.serving import ServingEngine
 
         self.rt = rt
@@ -91,7 +95,8 @@ class SeedXServer:
                                     num_inference_steps=num_inference_steps)
         self.request_timeout = request_timeout
         self._queue: "queue.Queue[Optional[_Job]]" = queue.Queue()
-        self._sessions: Dict[str, Any] = {}
+        self._sessions: "OrderedDict[str, Any]" = OrderedDict()
+        self._max_sessions = max(1, max_sessions)
         self._served = 0
         self._errors = 0
         self._lock = threading.Lock()
@@ -210,7 +215,13 @@ class SeedXServer:
                 sid = str(p["session"])
                 sess = self._sessions.get(sid)
                 if sess is None:
+                    # LRU-evict before allocating: a session's KV prefix
+                    # cache is device memory, never freed implicitly
+                    while len(self._sessions) >= self._max_sessions:
+                        self._sessions.popitem(last=False)
                     sess = self._sessions[sid] = ChatSession(self.rt)
+                else:
+                    self._sessions.move_to_end(sid)
                 img = _decode_image(p["image"]) if p.get("image") else None
                 out = sess.send(
                     p["message"], image=img,

@@ -106,15 +106,14 @@ def _ngram_draft(hist, m, token0, k: int, ngram: int = 3):
     match / beyond the filled region — -1 never verifies, so a bad draft
     costs nothing but the already-spent verify FLOPs.
     """
+    if ngram < 2:
+        raise ValueError(f"spec_ngram must be >= 2, got {ngram}")
     idx = jnp.arange(hist.shape[0])
     match = hist == token0
-    lo = 1
-    y = hist[jnp.maximum(m - 1, 0)]
-    match &= jnp.roll(hist, 1) == y
-    if ngram >= 3:
-        z = hist[jnp.maximum(m - 2, 0)]
-        match &= jnp.roll(hist, 2) == z
-        lo = 2
+    # the tail (ngram-1)-gram preceding token0 must match at each candidate
+    for o in range(1, ngram):
+        match &= jnp.roll(hist, o) == hist[jnp.maximum(m - o, 0)]
+    lo = ngram - 1
     match &= (idx >= lo) & (idx < m)
     j = jnp.max(jnp.where(match, idx, -1))
     start = jnp.clip(j + 1, 0, hist.shape[0] - k)

@@ -58,6 +58,7 @@ def export_merged(state_trainable: Any, frozen: Any, path: str,
     merged = merge_params(state_trainable, frozen)
     merged = merge_lora(merged, alpha=lora_alpha)
     save_pytree(path, merged)
+    return merged
 
 
 def export_serving(params: Any, path: str, family: str,
@@ -94,4 +95,3 @@ def export_serving(params: Any, path: str, family: str,
             f"unknown family {family!r}; one of ['llama', 'unet', 'vit']")
     save_pytree(path, qtree)
     return qtree
-    return merged

@@ -24,6 +24,19 @@ def test_ngram_draft_finds_previous_continuation():
     np.testing.assert_array_equal(np.asarray(drafts), [8, 9, 2])
 
 
+def test_ngram_draft_higher_order():
+    # 4-gram: tail (2,3,4,token0=5) must match all four positions
+    hist = jnp.asarray([9, 2, 3, 4, 5, 6, 7, 1, 2, 3, 4, -1, -1, -1],
+                       jnp.int32)
+    drafts = _ngram_draft(hist, 11, jnp.int32(5), k=2, ngram=4)
+    np.testing.assert_array_equal(np.asarray(drafts), [6, 7])
+    # but a 4-gram with a broken earlier token must NOT match
+    hist2 = jnp.asarray([9, 9, 3, 4, 5, 6, 7, 1, 2, 3, 4, -1, -1, -1],
+                        jnp.int32)
+    drafts2 = _ngram_draft(hist2, 11, jnp.int32(5), k=2, ngram=4)
+    np.testing.assert_array_equal(np.asarray(drafts2), [-1, -1])
+
+
 def test_ngram_draft_no_match_returns_sentinel():
     hist = jnp.asarray([1, 2, 3, 4, -1, -1], jnp.int32)
     drafts = _ngram_draft(hist, 4, jnp.int32(9), k=2, ngram=3)
