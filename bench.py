@@ -71,7 +71,8 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
                      kv_quantization: str = "none",
                      quantization: str = "int8",
                      scan_layers: bool = True,
-                     spec_k: int = 0):
+                     spec_k: int = 0,
+                     decode_attention: str = "auto"):
     """Greedy decode tokens/sec on the full 13B geometry, quantized weights.
 
     spec_k > 0 measures n-gram speculative ROUNDS/sec instead: each scan
@@ -87,6 +88,7 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
 
     cfg = llama2_13b(quantization=quantization, num_layers=num_layers,
                      kv_quantization=kv_quantization, scan_layers=scan_layers,
+                     decode_attention=decode_attention,
                      param_dtype=jnp.bfloat16, remat=False)
     model = LlamaForCausalLM(cfg)
 
@@ -590,7 +592,8 @@ def bench_train_step(batch_size: int = 2, seq: int = 768, num_layers: int = 6,
 
 def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
                            prompt_len: int = 120, max_new_tokens: int = 128,
-                           num_layers: int = 40, paged: bool = False):
+                           num_layers: int = 40, paged: bool = False,
+                           decode_attention: str = "auto"):
     """Continuous-batching serving throughput on the full 13B geometry
     (int4 weights + int8 KV): heterogeneous per-request budgets (1/4, 1/2,
     1x max_new_tokens round-robin) so slots free at different times and the
@@ -611,8 +614,9 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
     from seedx_tpu.text.tokenizer import load_tokenizer
 
     llm_cfg = llama2_13b(quantization="int4", num_layers=num_layers,
-                         kv_quantization="int8", param_dtype=jnp.bfloat16,
-                         remat=False)
+                         kv_quantization="int8",
+                         decode_attention=decode_attention,
+                         param_dtype=jnp.bfloat16, remat=False)
     agent_cfg = AgentConfig(llm=llm_cfg)
     model = ContinuousLVLM(agent_cfg)
 
@@ -805,6 +809,11 @@ def main():
     p.add_argument("--paged", action="store_true",
                    help="serve_continuous: paged KV — 16 slots sharing the "
                         "KV pool 8 dense slots would reserve")
+    p.add_argument("--decode-attn", default="auto",
+                   choices=["auto", "never"],
+                   help="decode_13b/serve_continuous: 'never' disables the "
+                        "ragged Pallas decode-attention kernel (A/B the "
+                        "window-bounded KV read vs the full-cache XLA read)")
     p.add_argument("--unet-quant", default="none", choices=["none", "int8"],
                    help="sdxl_denoise UNet weights (int8 = the serving-fit "
                         "config that co-resides with the int4 LLM in 16G)")
@@ -876,7 +885,8 @@ def _run_metric(args):
     elif args.metric == "serve_continuous":
         slots = 16 if args.paged else 8
         value = _best_of(lambda: bench_serve_continuous(
-            slots=slots, paged=args.paged), args.repeats)
+            slots=slots, paged=args.paged,
+            decode_attention=args.decode_attn), args.repeats)
         print(json.dumps({
             "metric": ("llama13b_int4_serve_paged_16slot" if args.paged
                        else "llama13b_int4_serve_continuous_8slot"),
@@ -908,7 +918,9 @@ def _run_metric(args):
             lambda: bench_decode_13b(batch_size=args.batch,
                                      kv_quantization=kv,
                                      quantization=quant,
-                                     spec_k=args.spec_k), args.repeats)
+                                     spec_k=args.spec_k,
+                                     decode_attention=args.decode_attn),
+            args.repeats)
         name = f"llama13b_{quant}_decode" + (
             f"_b{args.batch}_kvint8" if args.batch != 1 else "")
         if args.spec_k:
