@@ -119,7 +119,7 @@ class ChatSession:
     # ------------------------------------------------------------------
 
     def _generate_cached(self, input_ids, cmp_mask, image_embeds, ppos,
-                         max_new_tokens: int):
+                         max_new_tokens: int, spec_k: int = 0):
         """Delta-prefill generation against the session KV cache."""
         from seedx_tpu.models.generation import (GenerationConfig,
                                                  _trim_and_spans,
@@ -133,7 +133,8 @@ class ChatSession:
             max_new_tokens=max_new_tokens,
             num_img_gen_tokens=rt.agent_cfg.num_img_out_tokens,
             eos_token_id=rt.tokenizer.eos_token_id,
-            pad_token_id=rt.tokenizer.pad_token_id)
+            pad_token_id=rt.tokenizer.pad_token_id,
+            spec_k=spec_k)
         full_mask = (np.asarray(cmp_mask, bool) if cmp_mask is not None
                      else np.zeros((len(input_ids),), bool))
         n_in = rt.agent_cfg.num_img_in_tokens
@@ -156,12 +157,13 @@ class ChatSession:
 
         # capacity must cover decode AND the bucket-padded prefill write at
         # offset lcp (a clamped dynamic_update_slice would silently corrupt
-        # the cached prefix)
-        need = max(len(input_ids) + max_new_tokens,
+        # the cached prefix); spec decode's verify forward writes spec_k
+        # rows past the final token — same clamp hazard, same headroom rule
+        need = max(len(input_ids) + max_new_tokens + spec_k,
                    lcp + seg_bucket(len(input_ids) - lcp))
         if self._cache is None or self._cache[0].shape[2] < need:
             lcp = 0                          # fresh cache: full prefill
-            need = max(len(input_ids) + max_new_tokens,
+            need = max(len(input_ids) + max_new_tokens + spec_k,
                        seg_bucket(len(input_ids)))
             cap = (max(self.cache_capacity, need) + 127) // 128 * 128
             self._cache = init_kv_cache(rt.agent_cfg.llm, 1, cap)
@@ -190,10 +192,18 @@ class ChatSession:
             jnp.asarray(ecm) if ecm is not None else None,
             ppos_delta, method="embed_with_images")
 
+        hist_ids = None
+        if spec_k:
+            # token ids at absolute cache positions (multi-turn chat is the
+            # prime n-gram workload: history revisits its own phrasing)
+            h = np.full((self._cache[0].shape[2],), -1, np.int32)
+            h[:len(input_ids)] = np.asarray(input_ids, np.int32)
+            hist_ids = jnp.asarray(h)
         out, self._cache, _total = generate_tokens_cached(
             rt.agent, {"params": rt.agent_params}, self._cache, seg_embeds,
             jnp.int32(lcp), jnp.int32(len(delta)),
-            jnp.int32(input_ids[-1]), jax.random.PRNGKey(0), gen_cfg, vocab)
+            jnp.int32(input_ids[-1]), jax.random.PRNGKey(0), gen_cfg, vocab,
+            hist_ids=hist_ids)
 
         tokens = np.asarray(out["tokens"][0])
         gen_tokens, eoi_indices = _trim_and_spans(tokens, gen_cfg, vocab)
@@ -214,8 +224,13 @@ class ChatSession:
                             rt.tokenizer, vocab, n_img)
 
     def send(self, text: str, image=None, max_new_tokens: int = 512,
-             num_inference_steps: int = 30, seed: int = 42):
-        """One user turn -> assistant reply {text, images}."""
+             num_inference_steps: int = 30, seed: int = 42,
+             spec_k: int = 0):
+        """One user turn -> assistant reply {text, images}.
+
+        spec_k > 0 enables exact n-gram speculative decoding for the reply
+        (greedy; models/generation.py) — multi-turn history is the prime
+        prompt-lookup workload."""
         n_patches = self._add_image(image) if image is not None else 0
         self.turns.append(Turn("user", text, n_patches))
 
@@ -235,13 +250,15 @@ class ChatSession:
 
         if self.prefix_cache:
             out = self._generate_cached(input_ids, cmp_mask, image_embeds,
-                                        ppos, max_new_tokens)
+                                        ppos, max_new_tokens,
+                                        spec_k=spec_k)
         else:
             out = self.rt.generate(input_ids, image_embeds=image_embeds,
                                    embeds_cmp_mask=embeds_cmp,
                                    ids_cmp_mask=cmp_mask,
                                    patch_positions=ppos,
-                                   max_new_tokens=max_new_tokens)
+                                   max_new_tokens=max_new_tokens,
+                                   spec_k=spec_k)
 
         images = None
         reply_patches = 0

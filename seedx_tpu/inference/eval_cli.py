@@ -157,7 +157,7 @@ def main(argv=None):
             out = session.send(line, image=turn_image,
                                max_new_tokens=args.max_new_tokens,
                                num_inference_steps=args.num_inference_steps,
-                               seed=args.seed)
+                               seed=args.seed, spec_k=args.spec_k)
             print(out["text"])
             if out["images"] is not None:
                 n_img += len(out["images"])

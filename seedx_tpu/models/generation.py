@@ -373,6 +373,10 @@ def generate_tokens_cached(
     rng: jnp.ndarray,
     gen_cfg: GenerationConfig,
     vocab: MultimodalVocab = DEFAULT_VOCAB,
+    hist_ids: Optional[jnp.ndarray] = None,   # [C] ids at abs positions,
+    # -1 in unfilled/stale slots — enables n-gram spec decode (greedy); the
+    # CALLER must size the cache with spec_k rows of headroom past
+    # p_total + max_new_tokens (verify forwards write k rows ahead)
 ):
     """Prefix-cached single-prompt generation (multi-turn chat).
 
@@ -395,6 +399,9 @@ def generate_tokens_cached(
     t = gen_cfg.max_new_tokens
     n_img = gen_cfg.num_img_gen_tokens
     sb = seg_embeds.shape[1]
+    spec_k = (gen_cfg.spec_k
+              if (gen_cfg.spec_k > 0 and not gen_cfg.do_sample
+                  and hist_ids is not None) else 0)
 
     positions = (seg_start + jnp.arange(sb))[None, :]
     kv_valid = (jnp.arange(c) < seg_start + seg_len)[None, :]
@@ -419,12 +426,17 @@ def generate_tokens_cached(
         [jnp.arange(vocab.img_token_start, vocab.img_token_start + n_img),
          jnp.asarray([vocab.eoi])]).astype(jnp.int32)
 
+    # history for n-gram drafting lives at ABSOLUTE cache positions:
+    # hist[i] is the token at KV row i (stale/unfilled slots -1)
+    hist0 = (hist_ids.reshape(-1).astype(jnp.int32) if spec_k
+             else jnp.zeros((1,), jnp.int32))
+
     def decode_kv_valid(n_valid):
         return (jnp.arange(c) < p_total + n_valid)[None, :]
 
     def single_step(state):
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state
         rng, sub = jax.random.split(rng)
         constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
                                              n_img)
@@ -445,11 +457,11 @@ def generate_tokens_cached(
             p_total + n, method="llm_step")
         return (cache, logits[:, 0].astype(jnp.float32), hidden[:, 0], pos,
                 token, new_finished, rng, out_tokens, out_hidden,
-                out_finished, n + 1)
+                out_finished, hist, n + 1)
 
     def chunk_step(state):
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state
         ck = n_img + 1
         ids = forced_ids[None, :]
         embeds = model.apply(variables, ids, method="embed_ids")
@@ -465,17 +477,72 @@ def generate_tokens_cached(
         out_finished = jax.lax.dynamic_update_slice(
             out_finished, jnp.broadcast_to(finished[:, None], (1, ck)),
             (0, n))
+        if spec_k:
+            hist = jax.lax.dynamic_update_slice(hist, ids[0],
+                                                (p_total + n,))
         return (cache, logits[:, -1].astype(jnp.float32), hidden[:, -1],
                 prev_pos + ck, jnp.full((1,), vocab.eoi, jnp.int32), finished,
-                rng, out_tokens, out_hidden, out_finished, n + ck)
+                rng, out_tokens, out_hidden, out_finished, hist, n + ck)
+
+    def spec_step(state):
+        """Speculative round — same accept/emit logic as the spec_step in
+        ``generate_tokens`` (see its docstring for the exactness argument),
+        with absolute cache positions; the caller guaranteed spec_k rows of
+        cache headroom past p_total + t."""
+        (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state
+        k = spec_k
+        constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
+                                             n_img)
+        token0 = jnp.argmax(constrained, axis=-1).astype(jnp.int32)
+        drafts = _ngram_draft(hist, p_total + n, token0[0], k,
+                              gen_cfg.spec_ngram)
+        v = jnp.concatenate([token0, drafts])
+        embeds = model.apply(variables, jnp.maximum(v, 0)[None, :],
+                             method="embed_ids")
+        pos = prev_pos[:, None] + 1 + jnp.arange(k + 1)[None, :]
+        logits_v, hidden_v, cache = model.apply(
+            variables, embeds, pos, decode_kv_valid(n + k + 1), cache,
+            p_total + n, method="llm_step")
+        logits_v = logits_v.astype(jnp.float32)
+        exp_next = jnp.argmax(
+            constrain_image_tokens(v, logits_v[0], vocab, n_img),
+            axis=-1).astype(jnp.int32)
+        stop_prev = ((v[:k] == gen_cfg.eos_token_id) | (v[:k] == vocab.boi))
+        acc = (drafts == exp_next[:k]) & ~stop_prev
+        a = jnp.sum(jnp.cumprod(acc.astype(jnp.int32)))
+        e_count = a + 1
+        i_vec = jnp.arange(k + 1)
+        write_idx = jnp.where(i_vec < e_count, n + i_vec, t)
+        fin_w = v == gen_cfg.eos_token_id
+        hid_w = jnp.concatenate([prev_hidden[:, None], hidden_v[:, :k]],
+                                axis=1)[0]
+        out_tokens = out_tokens.at[0, write_idx].set(v, mode="drop")
+        out_hidden = out_hidden.at[0, write_idx].set(
+            hid_w.astype(hid_dtype), mode="drop")
+        out_finished = out_finished.at[0, write_idx].set(fin_w, mode="drop")
+        hist = hist.at[jnp.where(i_vec < e_count, p_total + n + i_vec,
+                                 hist.shape[0])].set(v, mode="drop")
+
+        last_tok = v[a]
+        new_logits = jax.lax.dynamic_index_in_dim(
+            logits_v[0], a, 0, keepdims=False)[None]
+        new_hidden = jax.lax.dynamic_index_in_dim(
+            hidden_v[0], a, 0, keepdims=False)[None]
+        new_finished = finished | (last_tok == gen_cfg.eos_token_id)
+        return (cache, new_logits, new_hidden, prev_pos + e_count,
+                last_tok.reshape(1), new_finished, rng, out_tokens,
+                out_hidden, out_finished, hist, n + e_count)
+
+    inner_step = spec_step if spec_k else single_step
 
     def body(state):
         if not enable_chunk:
-            return single_step(state)
+            return inner_step(state)
         prev_token, finished, n = state[4], state[5], state[-1]
         do_chunk = (jnp.all((prev_token == vocab.boi) & ~finished)
                     & (n + n_img + 1 <= t))
-        return jax.lax.cond(do_chunk, chunk_step, single_step, state)
+        return jax.lax.cond(do_chunk, chunk_step, inner_step, state)
 
     def cond(state):
         finished, n = state[5], state[-1]
@@ -484,7 +551,7 @@ def generate_tokens_cached(
     state = (cache, last_logits, last_hidden, last_pos,
              last_prompt_token.reshape(1).astype(jnp.int32),
              jnp.zeros((1,), bool), rng,
-             out_tokens0, out_hidden0, out_finished0, jnp.int32(0))
+             out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0))
     state = jax.lax.while_loop(cond, body, state)
     return ({"tokens": state[7], "hidden": state[8], "finished": state[9]},
             state[0], p_total + state[-1])

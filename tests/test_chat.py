@@ -138,3 +138,21 @@ def test_prefix_cache_capacity_regrow(rt):
         ra = a.send(text, max_new_tokens=4)
         rb = b.send(text, max_new_tokens=4)
         assert ra["text"] == rb["text"]
+
+
+def test_chat_spec_decode_matches_plain(rt, image):
+    """spec_k must not change replies in either chat mode: prefix-cached
+    spec rounds run against the session cache (absolute positions) and the
+    fallback path routes through generate_batch's spec engine."""
+    a = ChatSession(rt, prefix_cache=True, cache_capacity=512)
+    b = ChatSession(rt, prefix_cache=True, cache_capacity=512)
+    c = ChatSession(rt, prefix_cache=False)
+    sends = [("describe the thing", image), ("again, more detail", None),
+             ("and once more", None)]
+    for i, (text, img) in enumerate(sends):
+        ra = a.send(text, image=img, max_new_tokens=6)
+        rb = b.send(text, image=img, max_new_tokens=6, spec_k=3)
+        rc = c.send(text, image=img, max_new_tokens=6, spec_k=3)
+        assert ra["text"] == rb["text"] == rc["text"], i
+        if i > 0:
+            assert b.last_reused > 0, i   # spec didn't break prefix reuse
