@@ -73,6 +73,12 @@ def main(argv=None):
                         "slot-pool ContinuousEngine")
     p.add_argument("--max_batch_size", type=int, default=8)
     p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--paged", action="store_true",
+                   help="serve --engine continuous: paged KV (shared tile "
+                        "pool + block tables; needs an int4 runtime)")
+    p.add_argument("--pool_tokens", type=int, default=0,
+                   help="paged KV pool size in tokens (default: the dense "
+                        "footprint, slots x (max bucket + max_new_tokens))")
     p.add_argument("--image")
     p.add_argument("--condition")
     p.add_argument("--question", default="What is in this image?")
@@ -209,7 +215,9 @@ def main(argv=None):
             from seedx_tpu.text import prompts as P
 
             eng = ContinuousEngine(rt, slots=args.slots,
-                                   max_new_tokens=args.max_new_tokens)
+                                   max_new_tokens=args.max_new_tokens,
+                                   paged=args.paged,
+                                   pool_tokens=args.pool_tokens)
             order = []
             edit_sources = {}
             for i, r in enumerate(reqs):
