@@ -44,9 +44,15 @@ from jax.experimental.pallas import tpu as pltpu
 from seedx_tpu.ops.attention import NEG_INF
 
 
-def _pick_block(s: int, preferred: int = 128) -> int:
-    """Largest power-of-two tile <= preferred that divides the cache len."""
+def _pick_block(s: int, preferred: int = 128, row_bytes: int = 0) -> int:
+    """Largest power-of-two tile <= preferred that divides the cache len.
+
+    row_bytes (one KV row's bytes) caps the tile so the double-buffered
+    k+v scratch plus the kernel's fp32 [block, Hkv, G, D] temporaries stay
+    well inside the ~16 MB VMEM: tile payload <= ~768 KB."""
     b = preferred
+    while b > 8 and row_bytes and b * row_bytes > 768 * 1024:
+        b //= 2
     while b > 1 and s % b:
         b //= 2
     return b
@@ -217,7 +223,7 @@ def ragged_decode_attention(
         s = k_cache.shape[-2]
         assert k_cache.ndim == (4 if stacked else 3)
         if not block:
-            block = _pick_block(s)
+            block = _pick_block(s, row_bytes=f * k_cache.dtype.itemsize)
         assert s % block == 0, (s, block)
     if scale is None:
         scale = d ** -0.5
