@@ -227,7 +227,8 @@ class SeedXServer:
                     p["message"], image=img,
                     max_new_tokens=p.get("max_new_tokens", 512),
                     num_inference_steps=p.get("num_inference_steps", 30),
-                    seed=p.get("seed", 42))
+                    seed=p.get("seed", 42),
+                    spec_k=p.get("spec_k", 0))
                 self._finish(job, result={
                     "session": sid,
                     "text": out["text"],
