@@ -134,3 +134,66 @@ def test_spec_decode_disabled_for_batch_and_sampling(tiny_agent):
     got = generate_batch(model, variables, tok, reqs, gen_cfg=cfgk)
     for g, w in zip(got, want):
         assert list(g["tokens"]) == list(w["tokens"])
+
+
+def test_cached_engine_spec_matches_plain_with_image_span(tiny_agent):
+    """Direct generate_tokens_cached parity: spec rounds at absolute cache
+    positions, including the spec->chunk handover when the model emits
+    <img>, and a second segment reusing the first turn's cached prefix."""
+    import jax
+    from seedx_tpu.models.generation import generate_tokens_cached
+    from seedx_tpu.models.llama import init_kv_cache
+
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    v = tok.vocab
+    n = 4
+    t = n + 3
+    cap = 256
+
+    def run(spec_k):
+        cfg = GenerationConfig(max_new_tokens=t, num_img_gen_tokens=n,
+                               spec_k=spec_k)
+        cache = init_kv_cache(model.cfg.llm, 1, cap)
+        # turn 1: prompt ending in <img> -> forced span fires immediately
+        ids1 = [tok.bos_token_id] + tok.encode("make: ") + [v.boi]
+        sb = 32
+        padded = np.zeros((1, sb), np.int32)
+        padded[0, :len(ids1)] = ids1
+        emb = model.apply(variables, jnp.asarray(padded),
+                          method="embed_ids")
+        hist = None
+        if spec_k:
+            h = np.full((cap,), -1, np.int32)
+            h[:len(ids1)] = ids1
+            hist = jnp.asarray(h)
+        out1, cache, total1 = generate_tokens_cached(
+            model, variables, cache, emb, jnp.int32(0),
+            jnp.int32(len(ids1)), jnp.int32(ids1[-1]),
+            jax.random.PRNGKey(0), cfg, v, hist_ids=hist)
+        # turn 2: history + generated span + new text, delta-prefill from lcp
+        gen1 = [int(x) for x in np.asarray(out1["tokens"][0])]
+        ids2 = ids1 + gen1[:int(total1) - len(ids1)] + tok.encode(" more")
+        lcp = len(ids1)
+        delta = ids2[lcp:]
+        padded2 = np.zeros((1, sb), np.int32)
+        padded2[0, :len(delta)] = delta
+        emb2 = model.apply(variables, jnp.asarray(padded2),
+                           method="embed_ids")
+        hist2 = None
+        if spec_k:
+            h = np.full((cap,), -1, np.int32)
+            h[:len(ids2)] = ids2
+            hist2 = jnp.asarray(h)
+        out2, cache, _ = generate_tokens_cached(
+            model, variables, cache, emb2, jnp.int32(lcp),
+            jnp.int32(len(delta)), jnp.int32(ids2[-1]),
+            jax.random.PRNGKey(0), cfg, v, hist_ids=hist2)
+        return (np.asarray(out1["tokens"]), np.asarray(out2["tokens"]))
+
+    p1, p2 = run(0)
+    s1, s2 = run(3)
+    np.testing.assert_array_equal(p1, s1)
+    np.testing.assert_array_equal(p2, s2)
+    # the forced image span really fired in turn 1
+    assert list(p1[0][:n]) == [v.img_token_id(i) for i in range(n)]
