@@ -27,6 +27,18 @@ from seedx_tpu.models.llama import llama_debug  # noqa: E402
 from seedx_tpu.models.vit import ViTConfig  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The suite has grown past what one XLA CPU process survives: with
+    every module's jitted programs accumulated, the compiler segfaults deep
+    into tests/test_sharding.py (reproducibly at ~78% of a full -q run;
+    every module passes standalone).  Dropping the pjit/compilation caches
+    at module teardown keeps the process small — subsequent modules simply
+    recompile what they need."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     from seedx_tpu.parallel import create_mesh
