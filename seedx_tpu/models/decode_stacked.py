@@ -94,11 +94,18 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
         use_ragged = True
     else:
         max_len = cache[0].shape[2]
+        f_flat = cfg.num_kv_heads * cfg.head_dim
+        blk = _pick_block(max_len,
+                          row_bytes=f_flat * cache[0].dtype.itemsize)
+        # Mosaic alignment (ops/decode_attention.py): flat KV rows must be
+        # 128-lane multiples, tiles must hit the dtype's sublane granule
+        granule = {1: 32, 2: 16, 4: 8}[cache[0].dtype.itemsize]
         use_ragged = (
             kv_valid is not None and cfg.decode_attention != "never"
-            and _pick_block(max_len) >= 8
+            and blk >= 8
             and (cfg.decode_attention == "force"
-                 or jax.default_backend() == "tpu"))
+                 or (jax.default_backend() == "tpu"
+                     and f_flat % 128 == 0 and blk % granule == 0)))
     if use_ragged:
         m32 = kv_valid.astype(jnp.int32)
         starts = jnp.argmax(m32, axis=-1).astype(jnp.int32)
@@ -153,12 +160,15 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             from seedx_tpu.models.llama import quantize_kv
 
             ck, cv, ks, vs = cache
+            sw = ks.shape[-1]              # lane-padded (kv_scale_width)
             kq, ksc = quantize_kv(k)
             vq, vsc = quantize_kv(v)
             ck = store(ck, kq.reshape(b, nh * hd), li)
             cv = store(cv, vq.reshape(b, nh * hd), li)
-            ks = store(ks, ksc.reshape(b, nh), li)
-            vs = store(vs, vsc.reshape(b, nh), li)
+            ks = store(ks, jnp.pad(ksc.reshape(b, nh).astype(ks.dtype),
+                                   ((0, 0), (0, sw - nh))), li)
+            vs = store(vs, jnp.pad(vsc.reshape(b, nh).astype(vs.dtype),
+                                   ((0, 0), (0, sw - nh))), li)
             cache = (ck, cv, ks, vs)
             if use_ragged:
                 # the standing stacked buffers go to the kernel whole (a
@@ -172,12 +182,10 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             else:
                 ckl = (_index(ck, li).reshape(b, max_len, nh, hd
                                               ).astype(cfg.dtype)
-                       * _index(ks, li).reshape(b, max_len, nh, 1
-                                                ).astype(cfg.dtype))
+                       * _index(ks, li)[..., :nh, None].astype(cfg.dtype))
                 cvl = (_index(cv, li).reshape(b, max_len, nh, hd
                                               ).astype(cfg.dtype)
-                       * _index(vs, li).reshape(b, max_len, nh, 1
-                                                ).astype(cfg.dtype))
+                       * _index(vs, li)[..., :nh, None].astype(cfg.dtype))
         else:
             ck, cv = cache
             ck = store(ck, k.reshape(b, nh * hd), li)

@@ -115,13 +115,22 @@ def llama_debug(**overrides) -> LlamaConfig:
 KVCache = Tuple[jnp.ndarray, ...]
 
 
+def kv_scale_width(cfg: LlamaConfig) -> int:
+    """Lane width of the int8-KV scale leaves: ``num_kv_heads`` rounded up
+    to 128.  The ragged decode kernel DMAs scale tiles directly out of the
+    standing buffer, and Mosaic requires DMA'd minor dims to be
+    128-multiples (ops/decode_attention.py); pad lanes are zero and every
+    XLA consumer slices ``[..., :num_kv_heads]`` back off."""
+    return -(-cfg.num_kv_heads // 128) * 128
+
+
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
                   dtype=None) -> KVCache:
     dtype = dtype or cfg.dtype
     flat = (cfg.num_layers, batch, max_len,
             cfg.num_kv_heads * cfg.head_dim)
     if cfg.kv_quantization == "int8":
-        sshape = flat[:-1] + (cfg.num_kv_heads,)
+        sshape = flat[:-1] + (kv_scale_width(cfg),)
         return (jnp.zeros(flat, jnp.int8), jnp.zeros(flat, jnp.int8),
                 jnp.zeros(sshape, dtype), jnp.zeros(sshape, dtype))
     return jnp.zeros(flat, dtype), jnp.zeros(flat, dtype)
@@ -137,7 +146,7 @@ def init_paged_kv_pool(cfg: LlamaConfig, pool_tokens: int,
     dtype = dtype or cfg.dtype
     flat = (cfg.num_layers, pool_tokens, cfg.num_kv_heads * cfg.head_dim)
     if cfg.kv_quantization == "int8":
-        sshape = flat[:-1] + (cfg.num_kv_heads,)
+        sshape = flat[:-1] + (kv_scale_width(cfg),)
         return (jnp.zeros(flat, jnp.int8), jnp.zeros(flat, jnp.int8),
                 jnp.zeros(sshape, dtype), jnp.zeros(sshape, dtype))
     return jnp.zeros(flat, dtype), jnp.zeros(flat, dtype)
@@ -209,19 +218,25 @@ class LlamaBlock(nn.Module):
             if len(layer_cache) == 4:      # int8 cache + per-entry scales
                 ck, cv, ks, vs = layer_cache
                 max_len = ck.shape[1]
+                sw = ks.shape[-1]          # lane-padded (kv_scale_width)
                 kq, ksc = quantize_kv(k)
                 vq, vsc = quantize_kv(v)
+
+                def _padh(sc, dt):
+                    return jnp.pad(sc.astype(dt).reshape(b, s, nh),
+                                   ((0, 0), (0, 0), (0, sw - nh)))
+
                 ck = _store(ck, kq.reshape(b, s, -1))
                 cv = _store(cv, vq.reshape(b, s, -1))
-                ks = _store(ks, ksc.astype(ks.dtype).reshape(b, s, -1))
-                vs = _store(vs, vsc.astype(vs.dtype).reshape(b, s, -1))
+                ks = _store(ks, _padh(ksc, ks.dtype))
+                vs = _store(vs, _padh(vsc, vs.dtype))
                 new_cache = (ck, cv, ks, vs)
                 # dequant fuses into the attention consumer: HBM reads stay
                 # int8, the MXU sees bf16.
                 ck = (ck.reshape(b, max_len, nh, hd).astype(cfg.dtype)
-                      * ks.reshape(b, max_len, nh, 1).astype(cfg.dtype))
+                      * ks[..., :nh, None].astype(cfg.dtype))
                 cv = (cv.reshape(b, max_len, nh, hd).astype(cfg.dtype)
-                      * vs.reshape(b, max_len, nh, 1).astype(cfg.dtype))
+                      * vs[..., :nh, None].astype(cfg.dtype))
             else:
                 ck, cv = layer_cache
                 max_len = ck.shape[1]

@@ -15,6 +15,32 @@ reading ``mean(len)/max_len`` of it is a first-order throughput win.  The
 reference has no analogue (single-prompt eager HF decode,
 src/models/mllm/seed_x.py:184-189).
 
+Kernel structure — shaped by two on-chip Mosaic rounds:
+  * every vector value is rank <= 2 (the first round's ``[block, Hkv, G]``
+    temporaries died on 3D reductions with singleton minor dims);
+  * KV tiles are DMA'd as FULL contiguous rows ``[block, Hkv*D]`` of the
+    position-major cache — per-head slices of that layout are NOT
+    tile-aligned memref slices (second round: "slice shape along dimension
+    2 must be aligned to tiling (8)"), and a head-major cache would
+    force a layout change on every cache producer in the repo;
+  * per-head score/value sums over the flat feature dim are SEGMENTED
+    matmuls against constant 0/1 selector matrices built from 2D iota —
+    ``(k*q) @ seg[F,Hkv]`` gives all heads' scores in one MXU op, and
+    ``p @ exp[Hkv,F]`` broadcasts per-head softmax weights back to the
+    flat layout for the value sum;
+  * int8 KV scales apply in their position-major ``[block, W]`` layout
+    because they factor out of the per-segment dots:
+    ``sum_f k_int[t,f] q[f] * ks[t,h] = ks[t,h] * (k_int . q)[t,h]``;
+  * every DMA'd minor dim must be a multiple of 128 (third on-chip round:
+    "slice shape along dimension 2 must be aligned to tiling (128)"), so
+    the head axis of masks/scales/softmax state is padded to
+    ``W = roundup(Hkv, 128)`` and scale OPERANDS must be lane-padded to W
+    — ``models/llama.py`` allocates its scale leaves pre-padded
+    (``kv_scale_width``), and this wrapper pads unpadded callers (a copy,
+    fine for tests; never hand the kernel an unpadded standing buffer).
+    The pad lanes stay finite/zero end-to-end: seg/exp selector columns
+    and rows for h >= Hkv are identically zero and ``valid`` masks them.
+
 Capabilities:
   * per-row contiguous windows ``[start, end)`` — the invariant every
     cache path in this repo maintains (left-padded prompts + cache tail);
@@ -25,10 +51,14 @@ Capabilities:
     of row b is fetched from PHYSICAL tile ``block_tables[b, j]`` of a
     shared pool ``[pool_tiles * block, kv_heads*head_dim]`` — vLLM-style
     paged KV, so slots share one pool instead of reserving worst-case
-    dense rows.
+    dense rows (on TPU the page size must keep tile slices aligned:
+    multiples of 32 for int8 caches, 16 for bf16, 8 for fp32);
+  * optional ``layer`` scalar with ``[L, ...]`` stacked caches — the
+    standing all-layer buffer is the pallas operand (slicing it outside
+    would materialise an HBM copy per layer, NOTES_r2.md trap).
 
 The flash-attention streaming-softmax update matches
-``ops/flash_attention.py``; fully-masked tiles are guarded explicitly.
+``ops/flash_attention.py``; fully-masked rows produce zeros.
 """
 
 from __future__ import annotations
@@ -47,27 +77,34 @@ from seedx_tpu.ops.attention import NEG_INF
 def _pick_block(s: int, preferred: int = 128, row_bytes: int = 0) -> int:
     """Largest power-of-two tile <= preferred that divides the cache len.
 
-    row_bytes (one KV row's bytes) caps the tile so the double-buffered
-    k+v scratch plus the kernel's fp32 [block, Hkv, G, D] temporaries stay
-    well inside the ~16 MB VMEM: tile payload <= ~768 KB."""
+    row_bytes (one flat KV row's bytes) caps the tile so the
+    double-buffered k+v scratch plus the kernel's fp32 [block, F]
+    temporaries (4 bytes/elem regardless of cache dtype) stay well inside
+    the ~16 MB VMEM: fp32 tile image <= ~2 MB."""
     b = preferred
-    while b > 8 and row_bytes and b * row_bytes > 768 * 1024:
+    while b > 8 and row_bytes and b * row_bytes * 4 > 2 * 1024 * 1024:
         b //= 2
     while b > 1 and s % b:
         b //= 2
     return b
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
 def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
                    k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref,
                    k_buf, v_buf, ks_buf, vs_buf, sems, *,
                    scale: float, block: int, kv_heads: int, head_dim: int,
-                   q_groups: int, paged: bool, int8: bool, stacked: bool):
+                   hkv_pad: int, q_groups: int, paged: bool, int8: bool,
+                   stacked: bool):
     b = pl.program_id(0)
     start = starts_ref[b]
     end = ends_ref[b]
     j0 = start // block
     j1 = pl.cdiv(end, block)
+    f = kv_heads * head_dim
 
     def row_of(j):
         # physical first row of logical tile j: paged -> pool row from the
@@ -77,15 +114,14 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
         return j * block
 
     def src_at(hbm, j):
-        """Slice [block, ...feature dims] of logical tile j for this row.
+        """[block, F] (caches) / [block, Hkv] (scales) slice of logical
+        tile j for this row — full trailing dims, so every slice is
+        tile-aligned in the position-major layout.
 
         stacked: hbm carries a leading layer axis (one standing buffer for
-        ALL layers — slicing it OUTSIDE the kernel would materialise an HBM
-        copy per layer, the exact trap the stacked int4 weight kernel
-        exists to avoid); paged: rows come from a shared pool addressed by
-        the block table.  Combined stacked+paged is the paged
-        continuous-serving layout.  Works for both the [.., S, Hkv, D]
-        caches and the [.., S, Hkv] scale tables."""
+        ALL layers); paged: rows come from a shared pool addressed by the
+        block table.  Combined stacked+paged is the paged
+        continuous-serving layout."""
         def full(*lead):
             tail = (slice(None),) * (hbm.ndim - len(lead))
             return hbm.at[lead + tail]
@@ -125,13 +161,32 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
     def _():
         start_tile(0, j0)
 
-    # q: [kv_heads, G, D] fp32, pre-scaled (leading-dim split only — no
-    # lane<->sublane relayout)
-    q = (q_ref[0].astype(jnp.float32) * scale
-         ).reshape(kv_heads, q_groups, head_dim)
+    # q pre-grouped outside to [G, F] (group g's heads flattened into the
+    # cache's lane layout), pre-scaled
+    q = q_ref[0].astype(jnp.float32) * scale
+
+    # constant segment selectors from 2D iota (no transposes):
+    # seg[f, h] = 1 iff lane f belongs to head h; exp = seg^T built
+    # directly.  Pad lanes h >= kv_heads are all-zero columns/rows, so
+    # nothing computed there ever reaches the output.
+    w = hkv_pad
+    seg = (jax.lax.broadcasted_iota(jnp.int32, (f, w), 0) // head_dim
+           == jax.lax.broadcasted_iota(jnp.int32, (f, w), 1)
+           ).astype(jnp.float32)
+    expm = (jax.lax.broadcasted_iota(jnp.int32, (w, f), 1) // head_dim
+            == jax.lax.broadcasted_iota(jnp.int32, (w, f), 0)
+            ).astype(jnp.float32)
+
+    def seg_dot(x, sel):
+        # HIGHEST: multi-pass f32 MXU emulation — single-pass bf16 rounding
+        # of the operands costs ~1e-3 absolute on the scores (measured on
+        # chip), outside the kernel's exactness budget vs the XLA oracle
+        return jax.lax.dot_general(x, sel, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=jax.lax.Precision.HIGHEST)
 
     def body(i, carry):
-        m, l, acc = carry
+        ms, ls, accs = carry               # [G, Hkv], [G, Hkv], tuple of [1, F]
         j = j0 + i
         slot = jax.lax.rem(i, 2)
 
@@ -141,42 +196,52 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
 
         k_dma(slot, j).wait()
         v_dma(slot, j).wait()
-        k = k_buf[slot].astype(jnp.float32)      # [block, Hkv, D]
+        k = k_buf[slot].astype(jnp.float32)          # [block, F]
         v = v_buf[slot].astype(jnp.float32)
         if int8:
             ks_dma(slot, j).wait()
             vs_dma(slot, j).wait()
-            k = k * ks_buf[slot].astype(jnp.float32)[:, :, None]
-            v = v * vs_buf[slot].astype(jnp.float32)[:, :, None]
+            ks = ks_buf[slot].astype(jnp.float32)    # [block, W]
+            vs = vs_buf[slot].astype(jnp.float32)
 
-        # scores [block, kv_heads, G]: per-head q . k, VPU mult+reduce over
-        # leading/lane-aligned dims only — no transposes or lane<->sublane
-        # relayouts (bandwidth-bound kernel; no MXU needed at q_len == 1)
-        s = jnp.sum(q[None, :, :, :] * k[:, :, None, :], axis=-1)
+        pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (block, w), 0)
+        head_ok = jax.lax.broadcasted_iota(jnp.int32, (block, w), 1) < kv_heads
+        valid = (pos >= start) & (pos < end) & head_ok   # [block, W]
 
-        pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
-        valid = (pos >= start) & (pos < end)            # [block]
-        s = jnp.where(valid[:, None, None], s, NEG_INF)
+        new_ms, new_ls, new_accs = [], [], []
+        for g in range(q_groups):
+            m, l, acc = ms[g:g + 1], ls[g:g + 1], accs[g]      # [1, W]
+            s = seg_dot(k * q[g:g + 1], seg)         # [block, W]
+            if int8:
+                s = s * ks                           # scales factor out
+            s = jnp.where(valid, s, NEG_INF)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=0))      # [Hkv, G]
-        # explicit guard: a fully-masked tile keeps m_new == NEG_INF and
-        # exp(NEG_INF - NEG_INF) would be 1 — zero it instead
-        p = jnp.where(valid[:, None, None],
-                      jnp.exp(s - m_new[None, :, :]), 0.0)
-        alpha = jnp.where(m == NEG_INF, 0.0, jnp.exp(m - m_new))
-        l = l * alpha + jnp.sum(p, axis=0)
-        pv = jnp.sum(p[:, :, :, None] * v[:, :, None, :], axis=0)
-        acc = acc * alpha[:, :, None] + pv              # [Hkv, G, D]
-        return m_new, l, acc
+            m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
+            # explicit guard: a fully-masked tile keeps m_new == NEG_INF
+            # and exp(NEG_INF - NEG_INF) would be 1 — zero it instead
+            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+            alpha = jnp.where(m == NEG_INF, 0.0, jnp.exp(m - m_new))
+            l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            if int8:
+                p = p * vs                           # v scales fold into p
+            # broadcast per-head weights back to lanes, weight v, row-sum
+            pv = jnp.sum(seg_dot(p, expm) * v, axis=0, keepdims=True)
+            acc = acc * seg_dot(alpha, expm) + pv    # [1, F]
+            new_ms.append(m_new)
+            new_ls.append(l)
+            new_accs.append(acc)
+        return (jnp.concatenate(new_ms, 0), jnp.concatenate(new_ls, 0),
+                tuple(new_accs))
 
-    shape_hg = (kv_heads, q_groups)
-    init = (jnp.full(shape_hg, NEG_INF, jnp.float32),
-            jnp.zeros(shape_hg, jnp.float32),
-            jnp.zeros(shape_hg + (head_dim,), jnp.float32))
-    m, l, acc = jax.lax.fori_loop(0, j1 - j0, body, init)
+    init = (jnp.full((q_groups, w), NEG_INF, jnp.float32),
+            jnp.zeros((q_groups, w), jnp.float32),
+            tuple(jnp.zeros((1, f), jnp.float32) for _ in range(q_groups)))
+    ms, ls, accs = jax.lax.fori_loop(0, j1 - j0, body, init)
 
-    out = acc / jnp.maximum(l, 1e-30)[:, :, None]
-    o_ref[0] = out.reshape(kv_heads * q_groups, head_dim).astype(o_ref.dtype)
+    inv_l = 1.0 / jnp.maximum(ls, 1e-30)             # [G, W]
+    for g in range(q_groups):
+        out = accs[g] * seg_dot(inv_l[g:g + 1], expm)
+        o_ref[0, g] = out[0].astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -233,6 +298,29 @@ def ragged_decode_attention(
     int8 = k_scale is not None
     if int8:
         assert v_scale is not None
+    hkv_pad = _round_up(kv_heads, 128)
+    if not interpret:
+        # Mosaic memref-slice tiling rules (measured on chip): DMA'd minor
+        # dims must be 128-multiples, sliced sublane extents must be
+        # multiples of the dtype's sublane granule.
+        granule = {1: 32, 2: 16, 4: 8}[k_cache.dtype.itemsize]
+        assert f % 128 == 0, \
+            f"TPU ragged decode needs kv_heads*head_dim % 128 == 0, got {f}"
+        assert block % granule == 0, \
+            f"tile {block} not a multiple of the {k_cache.dtype} granule"
+    if int8:
+        # scale operands must be lane-padded to hkv_pad; standing buffers
+        # from models/llama.py already are (kv_scale_width), direct callers
+        # with [.., Hkv] scales get padded here (copies — test-path only)
+        def _pad(sc):
+            short = hkv_pad - sc.shape[-1]
+            if short == 0:
+                return sc
+            assert short > 0, (sc.shape, hkv_pad)
+            return jnp.pad(sc, [(0, 0)] * (sc.ndim - 1) + [(0, short)])
+
+        k_scale = _pad(k_scale)
+        v_scale = _pad(v_scale)
     tables = (block_tables.astype(jnp.int32) if paged
               else jnp.zeros((b, 1), jnp.int32))   # dummy scalar operand
     layer_arr = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked
@@ -241,34 +329,35 @@ def ragged_decode_attention(
     kernel = functools.partial(
         _decode_kernel,
         scale=float(scale), block=block, kv_heads=kv_heads, head_dim=d,
-        q_groups=groups, paged=paged, int8=int8, stacked=stacked)
+        hkv_pad=hkv_pad, q_groups=groups, paged=paged, int8=int8,
+        stacked=stacked)
 
-    # split the flat feature dim into [kv_heads, d] OUTSIDE the kernel: a
-    # minor-dim row-major split is a free bitcast (the standing HBM buffer
-    # stays the operand), and the kernel then needs no lane<->sublane
-    # relayout after the DMA
-    k_cache = k_cache.reshape(k_cache.shape[:-1] + (kv_heads, d))
-    v_cache = v_cache.reshape(v_cache.shape[:-1] + (kv_heads, d))
+    # q regrouped OUTSIDE to [B, G, Hkv*D]: group g's slice lane-matches the
+    # flat cache rows (head h of group g lives at lanes [h*D, (h+1)*D)) —
+    # the kernel then runs rank-2 segmented ops only.  q is [B, Hq, D]
+    # (tiny), so this transpose costs nothing per step.
+    qg = q.reshape(b, kv_heads, groups, d).transpose(0, 2, 1, 3
+                                                    ).reshape(b, groups, f)
 
     sdtype = k_scale.dtype if int8 else jnp.float32
     scratch = [
-        pltpu.VMEM((2, block, kv_heads, d), k_cache.dtype),
-        pltpu.VMEM((2, block, kv_heads, d), v_cache.dtype),
-        pltpu.VMEM((2, block, kv_heads), sdtype),
-        pltpu.VMEM((2, block, kv_heads), sdtype),
+        pltpu.VMEM((2, block, f), k_cache.dtype),
+        pltpu.VMEM((2, block, f), v_cache.dtype),
+        pltpu.VMEM((2, block, hkv_pad), sdtype),
+        pltpu.VMEM((2, block, hkv_pad), sdtype),
         pltpu.SemaphoreType.DMA((2, 4)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,          # starts, ends, tables, layer
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),  # q
+            pl.BlockSpec((1, groups, f), lambda i, *_: (i, 0, 0)),  # q
             pl.BlockSpec(memory_space=pl.ANY),                  # k cache
             pl.BlockSpec(memory_space=pl.ANY),                  # v cache
             pl.BlockSpec(memory_space=pl.ANY),                  # k scales
             pl.BlockSpec(memory_space=pl.ANY),                  # v scales
         ],
-        out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, groups, f), lambda i, *_: (i, 0, 0)),
         scratch_shapes=scratch,
     )
     ks = k_scale if int8 else jnp.zeros((1, 1, 1), jnp.float32)
@@ -276,8 +365,11 @@ def ragged_decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, groups, f), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(starts.astype(jnp.int32), ends.astype(jnp.int32), tables, layer_arr,
-      q, k_cache, v_cache, ks, vs)
-    return out
+      qg, k_cache, v_cache, ks, vs)
+    return out.reshape(b, groups, kv_heads, d).transpose(0, 2, 1, 3
+                                                         ).reshape(b, hq, d)
