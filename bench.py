@@ -351,7 +351,8 @@ def bench_decode_turn(prompt_len: int = 512, text_steps: int = 9,
 
 def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                        n_img: int = 64, denoise_steps: int = 30,
-                       vit_tiles: int = 5, num_layers: int = 40):
+                       vit_tiles: int = 5, num_layers: int = 40,
+                       solver: str = "euler"):
     """ONE process, every model family resident in HBM at serving
     quantization — ViT-bigG int8 (1.9G) + 13B LLM int4/int8-KV (~7G) +
     SDXL UNet int8 (2.6G) + detok resampler + VAE bf16 — running a full
@@ -428,8 +429,8 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
     ucfg = sdxl_base_unet(param_dtype=jnp.bfloat16, quantize="int8")
     unet = UNet2DCondition(ucfg)
     scfg = SamplerConfig(height=1024, width=1024,
-                         num_inference_steps=denoise_steps)
-    schedule = make_schedule(denoise_steps)
+                         num_inference_steps=denoise_steps, solver=solver)
+    schedule = make_schedule(denoise_steps, solver=solver)
     h, w = scfg.latent_hw
     tids = default_time_ids(scfg, 1)
     unet_params = materialize(
@@ -593,6 +594,7 @@ def bench_train_step(batch_size: int = 2, seq: int = 768, num_layers: int = 6,
 def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
                            prompt_len: int = 120, max_new_tokens: int = 128,
                            num_layers: int = 40, paged: bool = False,
+                           pool_tokens: int = 0,
                            decode_attention: str = "auto"):
     """Continuous-batching serving throughput on the full 13B geometry
     (int4 weights + int8 KV): heterogeneous per-request budgets (1/4, 1/2,
@@ -669,7 +671,7 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
         # (requests hold ceil((p_len+budget)/128) tiles, budgets are mixed,
         # so mean occupancy is well under the dense worst case)
         kw = (dict(paged=True, page_size=128,
-                   pool_tokens=8 * (256 + max_new_tokens))
+                   pool_tokens=pool_tokens or 8 * (256 + max_new_tokens))
               if paged else {})
         eng = ContinuousEngine(rt, slots=slots,
                                max_new_tokens=max_new_tokens,
@@ -744,20 +746,24 @@ def bench_e2e_turn():
     results["sdxl_s"] = 30 / steps_per_sec
     gc.collect()
 
-    # Quality-equivalent fast path: DPM-Solver++(2M) Karras at 15 steps
-    # matches euler-30 against the true probability-flow ODE
-    # (tests/test_dpm_solver.py oracle: dpm@10 error < euler@30), at the
-    # same per-step UNet cost — measured, not scaled.
-    steps_dpm = bench_sdxl_denoise(steps=15, solver="dpmpp_2m")
-    results["sdxl_dpm15_s"] = 15 / steps_dpm
+    # Quality-MATCHED fast path: DPM-Solver++(2M) Karras at 24 steps
+    # matches/beats euler-30 in IMAGE space on the debug SDXL stack
+    # (tests/test_image_metrics.py::test_solver_image_space_accuracy,
+    # +0.9..+1.9 dB PSNR vs the shared-ODE truth across 3 seeds), at the
+    # same per-step UNet cost — measured, not scaled.  dpm-15 is the
+    # reduced-step option (lands between euler-15 and euler-30 on the
+    # same metric) and is NOT folded into any headline.
+    steps_dpm = bench_sdxl_denoise(steps=24, solver="dpmpp_2m")
+    results["sdxl_dpm24_s"] = 24 / steps_dpm
     gc.collect()
 
     results["vae_s"] = bench_vae_decode()
     shared = results["vit_s"] + results["llm_s"] + results["vae_s"]
     results["total_euler30"] = shared + results["sdxl_s"]
-    results["total_dpm15"] = shared + results["sdxl_dpm15_s"]
-    total = min(results["total_euler30"], results["total_dpm15"])
-    return total, results
+    results["total_dpm24"] = shared + results["sdxl_dpm24_s"]
+    # headline = the reference-parity euler-30 config (ADVICE r2: don't
+    # let a solver swap silently change the headline's quality config)
+    return results["total_euler30"], results
 
 
 def _best_of(fn, repeats: int = 2):
@@ -820,6 +826,13 @@ def main():
     p.add_argument("--paged", action="store_true",
                    help="serve_continuous: paged KV — 16 slots sharing the "
                         "KV pool 8 dense slots would reserve")
+    p.add_argument("--pool-tokens", type=int, default=0,
+                   help="serve_continuous --paged: override the shared KV "
+                        "pool size in tokens (default 8 dense slots' worth; "
+                        "A/B memory-pressure deferral vs. free admission)")
+    p.add_argument("--slots", type=int, default=0,
+                   help="serve_continuous: slot-pool size override "
+                        "(default 8 dense / 16 paged)")
     p.add_argument("--decode-attn", default="auto",
                    choices=["auto", "never"],
                    help="decode_13b/serve_continuous: 'never' disables the "
@@ -878,11 +891,17 @@ def _run_metric(args):
             "chip_gauge_tflops": round(chip_gauge(), 1),
         }))
     elif args.metric == "e2e_resident":
-        value = min(bench_e2e_resident() for _ in range(args.repeats))
+        steps = args.steps if args.steps != 10 else (
+            15 if args.solver == "dpmpp_2m" else 30)
+        value = min(bench_e2e_resident(denoise_steps=steps,
+                                       solver=args.solver)
+                    for _ in range(args.repeats))
         print(json.dumps({
-            "metric": "e2e_image_turn_resident_single_chip",
+            "metric": "e2e_image_turn_resident_single_chip"
+                      + ("_dpmpp" if args.solver == "dpmpp_2m" else ""),
             "value": round(value, 2),
-            "unit": "seconds (all families in HBM, one device-chained turn)",
+            "unit": f"seconds (all families in HBM, one device-chained "
+                    f"turn, {args.solver}-{steps})",
             "vs_baseline": round(5.0 / value, 2),
             "chip_gauge_tflops": round(chip_gauge(), 1),
         }))
@@ -895,9 +914,9 @@ def _run_metric(args):
             "vs_baseline": None,
         }))
     elif args.metric == "serve_continuous":
-        slots = 16 if args.paged else 8
+        slots = args.slots or (16 if args.paged else 8)
         value = _best_of(lambda: bench_serve_continuous(
-            slots=slots, paged=args.paged,
+            slots=slots, paged=args.paged, pool_tokens=args.pool_tokens,
             decode_attention=args.decode_attn), args.repeats)
         print(json.dumps({
             "metric": ("llama13b_int4_serve_paged_16slot" if args.paged

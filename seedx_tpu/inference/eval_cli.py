@@ -98,6 +98,14 @@ def main(argv=None):
                         "weight passes on self-similar replies")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--out_dir", default="vis")
+    p.add_argument("--score_against", metavar="PATH",
+                   help="text2img/edit/detokenize: score the first "
+                        "generated image against this reference image "
+                        "(SSIM/PSNR/MSE always; LPIPS when perceptual "
+                        "weights are present) — the quantitative version "
+                        "of the reference's golden-demo QA "
+                        "(vis/men_recon.jpg etc.); BASELINE.md pins "
+                        "recon LPIPS <= 0.05")
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
 
@@ -107,6 +115,20 @@ def main(argv=None):
 
     rt = _load_runtime(args)
     image = Image.open(args.image).convert("RGB") if args.image else None
+
+    def score(images):
+        """--score_against: print fidelity metrics for the first image."""
+        if not args.score_against or images is None or len(images) == 0:
+            return
+        import json as _json
+
+        import numpy as _np
+
+        from seedx_tpu.utils.image_metrics import score_images
+
+        ref = Image.open(args.score_against).convert("RGB")
+        print("fidelity:",
+              _json.dumps(score_images(ref, _np.asarray(images)[0])))
 
     if args.command == "img2text":
         out = apps.comprehend(rt, image, args.question,
@@ -133,6 +155,7 @@ def main(argv=None):
         print(out["text"])
         if out["images"] is not None:
             print("saved:", _save_images(out["images"], args.out_dir, "t2i"))
+            score(out["images"])
         else:
             print("(no image span generated)")
     elif args.command == "edit":
@@ -142,6 +165,7 @@ def main(argv=None):
         print(out["text"])
         if out["images"] is not None:
             print("saved:", _save_images(out["images"], args.out_dir, "edit"))
+            score(out["images"])
         else:
             print("(no image span generated)")
     elif args.command == "chat":
@@ -281,6 +305,7 @@ def main(argv=None):
                 num_inference_steps=args.num_inference_steps,
                 solver=args.solver)
         print("saved:", _save_images(imgs, args.out_dir, "recon"))
+        score(imgs)
     return 0
 
 

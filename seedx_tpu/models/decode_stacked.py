@@ -98,13 +98,17 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
         blk = _pick_block(max_len,
                           row_bytes=f_flat * cache[0].dtype.itemsize)
         # Mosaic alignment (ops/decode_attention.py): flat KV rows must be
-        # 128-lane multiples, tiles must hit the dtype's sublane granule
+        # 128-lane multiples, tiles must hit the dtype's sublane granule.
+        # "auto" additionally requires batch >= 2: measured on a v5e chip
+        # (r3, 13B int4/int8-KV geometry) ragged wins big at batch — B=8
+        # 562 vs 361 tok/s (+56%) — but LOSES at B=1 (72.5 vs 82.1), where
+        # one grid row can't hide the manual-DMA pipeline behind compute.
         granule = {1: 32, 2: 16, 4: 8}[cache[0].dtype.itemsize]
         use_ragged = (
             kv_valid is not None and cfg.decode_attention != "never"
             and blk >= 8
             and (cfg.decode_attention == "force"
-                 or (jax.default_backend() == "tpu"
+                 or (jax.default_backend() == "tpu" and b >= 2
                      and f_flat % 128 == 0 and blk % granule == 0)))
     if use_ragged:
         m32 = kv_valid.astype(jnp.int32)

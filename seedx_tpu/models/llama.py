@@ -116,11 +116,20 @@ KVCache = Tuple[jnp.ndarray, ...]
 
 
 def kv_scale_width(cfg: LlamaConfig) -> int:
-    """Lane width of the int8-KV scale leaves: ``num_kv_heads`` rounded up
-    to 128.  The ragged decode kernel DMAs scale tiles directly out of the
-    standing buffer, and Mosaic requires DMA'd minor dims to be
-    128-multiples (ops/decode_attention.py); pad lanes are zero and every
-    XLA consumer slices ``[..., :num_kv_heads]`` back off."""
+    """Lane width of the int8-KV scale leaves.
+
+    With ragged decode attention enabled (``decode_attention`` "auto" or
+    "force"): ``num_kv_heads`` rounded up to 128 — the kernel DMAs scale
+    tiles directly out of the standing buffer, and Mosaic requires DMA'd
+    minor dims to be 128-multiples (ops/decode_attention.py); pad lanes
+    are zero and every XLA consumer slices ``[..., :num_kv_heads]`` back.
+
+    With ``decode_attention == "never"`` the XLA path is the only reader,
+    so the compact ``num_kv_heads`` layout is kept — the 128-lane pad
+    would otherwise ~3x the scale HBM footprint and per-step scale DMA at
+    the 13B serving geometry (40 kv heads) for no consumer."""
+    if cfg.decode_attention == "never":
+        return cfg.num_kv_heads
     return -(-cfg.num_kv_heads // 128) * 128
 
 

@@ -107,7 +107,14 @@ class HFTokenizer:
     def __init__(self, path: str, vocab: MultimodalVocab = DEFAULT_VOCAB):
         from transformers import AutoTokenizer  # local import: heavy
 
-        self._tok = AutoTokenizer.from_pretrained(path, use_fast=False)
+        try:
+            # the released SEED-X dir is a slow LlamaTokenizer (reference:
+            # configs/tokenizer/clm_llama_tokenizer_224loc_anyres.yaml)
+            self._tok = AutoTokenizer.from_pretrained(path, use_fast=False)
+        except (ValueError, OSError, ImportError):
+            # fast-only directories (e.g. test fixtures without a
+            # sentencepiece model file)
+            self._tok = AutoTokenizer.from_pretrained(path)
         self.vocab = vocab
         self.pad_token_id = self._tok.pad_token_id or 0
         self.bos_token_id = self._tok.bos_token_id

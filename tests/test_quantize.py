@@ -134,11 +134,21 @@ def test_int8_kv_cache_decode_matches_bf16():
     # greedy token streams agree (int8 cache error ~0.4% of amax per entry)
     assert (ref == out).mean() > 0.85
 
+    from seedx_tpu.models.llama import kv_scale_width
+
     qc = init_kv_cache(qcfg, B, total)
     assert len(qc) == 4 and qc[0].dtype == jnp.int8
-    # flat [layers, batch, max_len, heads*dim] + per-head scales
+    # flat [layers, batch, max_len, heads*dim] + per-head scales, lane-
+    # padded to 128 for the ragged-decode DMA (decode_attention != "never")
     assert qc[0].shape == (2, B, total, 128)
-    assert qc[2].shape == (2, B, total, 4)
+    assert kv_scale_width(qcfg) == 128
+    assert qc[2].shape == (2, B, total, 128)
+    # with the ragged kernel off the compact scale layout is kept
+    ncfg = llama_debug(hidden_size=128, intermediate_size=256, num_layers=2,
+                       num_heads=4, num_kv_heads=4, kv_quantization="int8",
+                       decode_attention="never")
+    nc = init_kv_cache(ncfg, B, total)
+    assert nc[2].shape == (2, B, total, 4)
 
 
 def test_int8_full_llama_matches_fp():
@@ -482,11 +492,16 @@ def test_stacked_decode_ragged_attention_parity(monkeypatch):
         assert np.abs(ref_lg - out_lg).max() < max(0.05, 0.01 * rms), kvq
         if kvq == "int8":
             # compare DEQUANTIZED K/V: raw code cells flip by ±2 when the
-            # bf16-rounded scale itself moves an ulp between the paths
+            # bf16-rounded scale itself moves an ulp between the paths.
+            # Scale leaves are lane-padded to kv_scale_width — slice the
+            # real [..., :num_kv_heads] scales back off before the repeat.
+            nh = cfg_x.num_kv_heads
             rk = np.asarray(ref_cache[0], np.float32) * np.repeat(
-                np.asarray(ref_cache[2], np.float32), cfg_x.head_dim, -1)
+                np.asarray(ref_cache[2], np.float32)[..., :nh],
+                cfg_x.head_dim, -1)
             ok = np.asarray(out_cache[0], np.float32) * np.repeat(
-                np.asarray(out_cache[2], np.float32), cfg_x.head_dim, -1)
+                np.asarray(out_cache[2], np.float32)[..., :nh],
+                cfg_x.head_dim, -1)
             np.testing.assert_allclose(rk, ok, atol=0.1)
         else:
             for r, o in zip(ref_cache, out_cache):
