@@ -802,6 +802,33 @@ def chip_gauge(iters: int = 60) -> float:
     return 2 * 2048 * 1280 * 1280 / best / 1e12
 
 
+def hbm_gauge(gb: float = 0.75, iters: int = 8) -> float:
+    """Achieved HBM GB/s on a pure streaming op (elementwise scale over a
+    ``gb``-sized bf16 array, read+write per pass).  The matmul chip_gauge
+    tracks MXU-bound work but NOT bandwidth-bound work: 2026-08-18 the
+    same chip measured 12.3-12.5 TF/s on the matmul gauge while SDXL
+    denoise swung 7.5 -> 3.8 steps/s between sessions — the denoise (and
+    decode) workloads follow THIS gauge.  Stamp both into headline JSONs."""
+    n = int(gb * 1e9 / 2)
+    x0 = jnp.ones((n,), jnp.bfloat16)
+
+    @jax.jit
+    def run(x):
+        def body(x, _):
+            return x * jnp.bfloat16(1.0009765625), None   # exact in bf16
+
+        x, _ = jax.lax.scan(body, x, jnp.arange(iters))
+        return x[::1024 * 1024].astype(jnp.float32).sum()
+
+    float(run(x0))
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        float(run(x0 * jnp.bfloat16(1 + i * 0.25)))   # distinct executions
+        best = min(best, time.perf_counter() - t0)
+    return 2 * 2 * n * iters / best / 1e9
+
+
 def main():
     import argparse
 
@@ -868,27 +895,38 @@ def _run_metric(args):
             total, br = bench_e2e_turn()
             if best is None or total < best:
                 best, parts = total, br
+        # the DEPLOYABLE number (VERDICT r2 item 3): every family resident
+        # in one chip's HBM at serving quantization, one device-chained
+        # turn, at the image-metric-validated quality-match solver config
+        # (dpmpp_2m-24 >= euler-30 PSNR, tests/test_image_metrics.py).
+        # Measured raw in THIS process run, gauges stamped alongside.
+        import gc
+        gc.collect()
+        resident = bench_e2e_resident(denoise_steps=24, solver="dpmpp_2m")
         print(json.dumps({
             "metric": "e2e_image_turn_single_chip",
             "value": round(best, 2),
-            # best quality-equivalent turn: min(euler-30, dpmpp_2m-15) —
-            # the 15-step DPM-Solver++(2M) Karras turn matches euler-30
-            # against the true ODE (tests/test_dpm_solver.py) and is
-            # MEASURED in parts["total_dpm15"], not scaled.
+            # headline = the reference-parity euler-30 configuration.
+            # total_dpm24 is the image-metric-validated quality match
+            # (tests/test_image_metrics.py: dpm-24 >= euler-30 PSNR on the
+            # debug stack) and is MEASURED, not scaled — reported as a
+            # clearly-labeled secondary, never folded into the headline.
             "unit": ("seconds (vit5 + prefill512/9-step-decode/"
-                     "65-tok-img-chunk + sdxl-denoise + vae; best of "
-                     "euler-30 and quality-matched dpmpp_2m-15)"),
+                     "65-tok-img-chunk + euler-30 sdxl-denoise + vae; "
+                     "split-process phase sum)"),
             # north star: < 5 s image-in/image-out (BASELINE.json, budgeted
             # for a v5e-8 slice; measured here on ONE chip)
             "vs_baseline": round(5.0 / best, 2),
             "parts": {k: round(v, 2) for k, v in parts.items()},
+            "resident_dpm24_s": round(resident, 2),
             "derived": {
                 "vit_imgs_per_s": round(5 / parts["vit_s"], 1),
                 "sdxl_denoise_steps_per_s": round(30 / parts["sdxl_s"], 2),
-                "sdxl_dpm_steps_per_s": round(15 / parts["sdxl_dpm15_s"], 2),
+                "sdxl_dpm_steps_per_s": round(24 / parts["sdxl_dpm24_s"], 2),
                 "llm_turn_s": round(parts["llm_s"], 2),
             },
             "chip_gauge_tflops": round(chip_gauge(), 1),
+            "hbm_gauge_gbps": round(hbm_gauge(), 0),
         }))
     elif args.metric == "e2e_resident":
         steps = args.steps if args.steps != 10 else (
@@ -896,6 +934,8 @@ def _run_metric(args):
         value = min(bench_e2e_resident(denoise_steps=steps,
                                        solver=args.solver)
                     for _ in range(args.repeats))
+        import gc
+        gc.collect()        # drop the ~12G resident tree before the gauges
         print(json.dumps({
             "metric": "e2e_image_turn_resident_single_chip"
                       + ("_dpmpp" if args.solver == "dpmpp_2m" else ""),
@@ -904,6 +944,7 @@ def _run_metric(args):
                     f"turn, {args.solver}-{steps})",
             "vs_baseline": round(5.0 / value, 2),
             "chip_gauge_tflops": round(chip_gauge(), 1),
+            "hbm_gauge_gbps": round(hbm_gauge(), 0),
         }))
     elif args.metric == "train_step":
         value = _best_of(bench_train_step, args.repeats)

@@ -17,9 +17,13 @@ run() {
 run python scratch/tpu_ragged_smoke.py
 
 # B. UNet quantization per-step cost (the resident turn spends ~all its
-#    time in denoise; int8 was never A/B'd on chip)
+#    time in denoise; int8 was never A/B'd on chip).  Resident euler-30
+#    implies 247ms/step int8 vs 133ms/step split-process bf16, yet
+#    resident dpm-15 implies 140ms/step — A/B all combos.
 run python bench.py --metric sdxl_denoise --steps 30 --repeats 1
 run python bench.py --metric sdxl_denoise --steps 30 --unet-quant int8 --repeats 1
+run python bench.py --metric sdxl_denoise --steps 15 --solver dpmpp_2m --unet-quant int8 --repeats 1
+run python bench.py --metric e2e_resident --repeats 1
 
 # C. B=1 int4 decode with the new auto>=2 cutoff (expect ~82 tok/s again)
 run python bench.py --metric decode_13b --quant int4 --repeats 1

@@ -9,7 +9,10 @@ Covers: bf16 + int8 KV, dense stacked [L,B,S,*] and paged pool modes, at a
 serving-like geometry (kv_heads*head_dim % 128 == 0), parity vs an fp32
 XLA reference over the same [start, end) windows.
 """
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

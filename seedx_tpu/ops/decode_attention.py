@@ -15,7 +15,15 @@ reading ``mean(len)/max_len`` of it is a first-order throughput win.  The
 reference has no analogue (single-prompt eager HF decode,
 src/models/mllm/seed_x.py:184-189).
 
-Kernel structure — shaped by two on-chip Mosaic rounds:
+Hardware status: the layout rules below came from on-chip Mosaic error
+rounds EARLY in round 2, before the tunnel outage froze further TPU work
+(NOTES_r2.md §OPEN); the kernel then shipped r2 interpret-validated only.
+Round 3 closed that: it Mosaic-compiles and runs on the v5e
+(scratch/tpu_ragged_smoke.py numerics parity; bench A/B 2026-08-18 —
+B=8 decode 562 vs 361 tok/s (+56%), but B=1 72.5 vs 82.1, hence the
+batch >= 2 "auto" cutoff in models/decode_stacked.py).
+
+Kernel structure — shaped by those on-chip Mosaic rounds:
   * every vector value is rank <= 2 (the first round's ``[block, Hkv, G]``
     temporaries died on 3D reductions with singleton minor dims);
   * KV tiles are DMA'd as FULL contiguous rows ``[block, Hkv*D]`` of the
