@@ -261,6 +261,25 @@ class ContinuousEngine:
                                         for b in self.gen_cfg.prompt_buckets):
                 raise ValueError("page_size must divide every prompt bucket "
                                  "and max bucket + max_new_tokens")
+            # Fail here, not at first decode: the ragged kernel's Mosaic
+            # dispatch rules (ops/decode_attention.py) need pages on the KV
+            # dtype's sublane granule and 128-lane flat KV rows.  Only the
+            # real TPU dispatch enforces them (CPU tests run interpret
+            # mode at tiny geometry), so gate on the backend.
+            if jax.default_backend() == "tpu":
+                kv_itemsize = (1 if cfg.kv_quantization == "int8"
+                               else jnp.dtype(cfg.dtype).itemsize)
+                granule = {1: 32, 2: 16, 4: 8}[kv_itemsize]
+                if page_size % granule:
+                    raise ValueError(
+                        f"page_size {page_size} must be a multiple of the "
+                        f"KV dtype's sublane granule ({granule} for "
+                        f"itemsize {kv_itemsize})")
+                if (cfg.num_kv_heads * cfg.head_dim) % 128:
+                    raise ValueError(
+                        "paged KV needs kv_heads*head_dim % 128 == 0 (flat "
+                        f"KV rows are Mosaic lanes); got "
+                        f"{cfg.num_kv_heads * cfg.head_dim}")
             self.page = page_size
             n_tiles = max(pool_tokens or slots * s_max, 2 * page_size
                           ) // page_size
