@@ -591,7 +591,7 @@ def bench_train_step(batch_size: int = 2, seq: int = 768, num_layers: int = 6,
     return batch_size * seq * iters / dt
 
 
-def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
+def bench_serve_continuous(slots: int = 8, n_requests: int = 0,
                            prompt_len: int = 120, max_new_tokens: int = 128,
                            num_layers: int = 40, paged: bool = False,
                            pool_tokens: int = 0,
@@ -602,9 +602,17 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
     engine back-fills them — the utilization case a flush-batched engine
     loses.  Reports aggregate generated tokens/sec/chip.
 
+    ``n_requests`` defaults to 4x slots: every decode step costs the FULL
+    slot-count attention + weight stream whether rows are live or not, so
+    throughput is proportional to mean occupancy — a queue much shorter
+    than the slot pool measures the drain tail, not the engine (the r3
+    paged "63 tok/s" pathology was exactly this: 24 requests against 16
+    slots whose pool could hold only 12, profiled mean occupancy ~4).
+
     Timing is closed by the engine's own per-chunk host reads of the
     running/n flags (data-dependent on every decode step, so the tunnel
     cannot dedupe or run ahead)."""
+    n_requests = n_requests or 4 * slots
     import types
 
     import numpy as np
@@ -667,9 +675,12 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 24,
         return reqs
 
     def drain(n):
-        # paged: 16 slots share the KV memory 8 dense slots would reserve
-        # (requests hold ceil((p_len+budget)/128) tiles, budgets are mixed,
-        # so mean occupancy is well under the dense worst case)
+        # paged: the slots share the KV memory 8 dense slots would reserve.
+        # At THIS workload every request needs exactly 2 tiles of 128
+        # (prompt ~120 + budget 32..128 lands in (128, 256]), so the
+        # 24-tile pool sustains 12 concurrent requests — the paged slot
+        # default is sized to that (a 16-slot program would pay 16-row
+        # attention per step while capped at 12 live rows)
         kw = (dict(paged=True, page_size=128,
                    pool_tokens=pool_tokens or 8 * (256 + max_new_tokens))
               if paged else {})
@@ -851,8 +862,13 @@ def main():
                         "at this draft length (tokens/sec = rounds/sec x "
                         "(1 + E[accepted]), workload-dependent)")
     p.add_argument("--paged", action="store_true",
-                   help="serve_continuous: paged KV — 16 slots sharing the "
-                        "KV pool 8 dense slots would reserve")
+                   help="serve_continuous: paged KV — 12 slots sharing the "
+                        "KV pool 8 dense slots would reserve (12 = what "
+                        "that pool sustains at this workload's 2 tiles per "
+                        "request)")
+    p.add_argument("--requests", type=int, default=0,
+                   help="serve_continuous: queue depth (default 4x slots — "
+                        "see bench_serve_continuous docstring)")
     p.add_argument("--pool-tokens", type=int, default=0,
                    help="serve_continuous --paged: override the shared KV "
                         "pool size in tokens (default 8 dense slots' worth; "
@@ -955,17 +971,19 @@ def _run_metric(args):
             "vs_baseline": None,
         }))
     elif args.metric == "serve_continuous":
-        slots = args.slots or (16 if args.paged else 8)
+        slots = args.slots or (12 if args.paged else 8)
         value = _best_of(lambda: bench_serve_continuous(
-            slots=slots, paged=args.paged, pool_tokens=args.pool_tokens,
+            slots=slots, n_requests=args.requests, paged=args.paged,
+            pool_tokens=args.pool_tokens,
             decode_attention=args.decode_attn), args.repeats)
         print(json.dumps({
-            "metric": ("llama13b_int4_serve_paged_16slot" if args.paged
-                       else "llama13b_int4_serve_continuous_8slot"),
+            "metric": (f"llama13b_int4_serve_paged_{slots}slot"
+                       if args.paged
+                       else f"llama13b_int4_serve_continuous_{slots}slot"),
             "value": round(value, 2),
             "unit": "tokens/sec/chip (heterogeneous budgets, rolling "
-                    "admission" + (", 16 slots in 8 dense slots' KV memory)"
-                                   if args.paged else ")"),
+                    "admission" + (f", {slots} slots in 8 dense slots' KV "
+                                   "memory)" if args.paged else ")"),
             "vs_baseline": None,
         }))
     elif args.metric == "sdxl_denoise":
