@@ -226,3 +226,49 @@ def test_tensor8_llm_with_padded_vocab():
         out = jax.jit(fwd)(params)
     np.testing.assert_allclose(np.asarray(ref, np.float32),
                                np.asarray(out, np.float32), atol=2e-2)
+
+
+def test_sharded_continuous_engine_matches_single():
+    """The continuous-batching engine on a sharded runtime: slot-pool
+    decode, rolling admission, and image-span features all run SPMD (the
+    engine's jitted programs inherit layouts from the sharded params) and
+    must reproduce the unsharded engine's results token-for-token.  The
+    reference serves eager single-GPU only (SURVEY.md §2a row 6); SPMD
+    continuous serving is a beyond-parity extra, certified here."""
+    from PIL import Image
+
+    from seedx_tpu.inference.continuous import ContinuousEngine
+    from seedx_tpu.inference.runtime import SeedXRuntime
+    from seedx_tpu.text import prompts
+
+    def requests(rt):
+        t2i = prompts.generation_prompt("a red boat")
+        ids1 = [rt.tokenizer.bos_token_id] + rt.tokenizer.encode(t2i)
+        ids2 = [rt.tokenizer.bos_token_id] + rt.tokenizer.encode("hi there")
+        base = {"image_embeds": None, "embeds_cmp_mask": None,
+                "ids_cmp_mask": None, "patch_positions": None}
+        return [dict(base, input_ids=ids1), dict(base, input_ids=ids2),
+                dict(base, input_ids=ids2 + ids2[1:])]
+
+    def drain(rt):
+        eng = ContinuousEngine(rt, slots=2, max_new_tokens=6, chunk_steps=3,
+                               prompt_buckets=(64,))
+        ids = [eng.submit(r) for r in requests(rt)]
+        results = eng.run()
+        return [results[i] for i in ids]
+
+    rt = SeedXRuntime.debug(image_size=56)
+    refs = drain(rt)
+
+    rt2 = SeedXRuntime.debug(image_size=56)
+    rt2.shard(create_mesh(data=1, fsdp=4, tensor=2))
+    outs = drain(rt2)
+
+    for out, ref in zip(outs, refs):
+        assert list(out["tokens"]) == list(ref["tokens"])
+        assert out["has_img_output"] == ref["has_img_output"]
+        if ref["img_gen_feat"] is not None:
+            a = np.asarray(out["img_gen_feat"], np.float32)
+            r = np.asarray(ref["img_gen_feat"], np.float32)
+            rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-9)
+            assert rel < 5e-2, rel
