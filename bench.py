@@ -28,6 +28,42 @@ import jax
 import jax.numpy as jnp
 
 
+def _fill_like(shapes):
+    """Materialize a random pytree matching ``shapes`` (jax.eval_shape
+    leaves) WITHOUT one giant fused fill program.
+
+    The old one-jit-for-the-whole-tree fill baked every PRNG key in as a
+    constant, producing a single ~1500-output program whose compile
+    repeatedly OOM-SIGKILLed the axon remote-compile helper at the
+    e2e_resident weight sizes (NOTES_r3).  Here each unique
+    (shape, dtype) gets one tiny jitted generator taking the key as an
+    argument, so compiles stay small and cache across leaves.
+    """
+    cache = {}
+
+    def gen_for(shape, dtype):
+        sig = (tuple(shape), jnp.dtype(dtype).name)
+        if sig not in cache:
+            if dtype == jnp.int8:
+                cache[sig] = jax.jit(lambda k: jax.random.randint(
+                    k, shape, -127, 128, jnp.int32).astype(jnp.int8))
+            elif dtype == jnp.uint8:
+                cache[sig] = jax.jit(lambda k: jax.random.randint(
+                    k, shape, 0, 256, jnp.int32).astype(jnp.uint8))
+            else:
+                cache[sig] = jax.jit(lambda k: (jax.random.normal(
+                    k, shape, jnp.float32) * 0.02).astype(dtype))
+        return cache[sig]
+
+    def fill(path, x):
+        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+        return gen_for(x.shape, x.dtype)(key)
+
+    out = jax.tree_util.tree_map_with_path(fill, shapes)
+    jax.block_until_ready(out)
+    return out
+
+
 def bench_vit_encode(batch_size: int = 16, iters: int = 10, warmup: int = 2):
     from seedx_tpu.models.vit import VisionTransformer, qwen_vitg_448
 
@@ -98,20 +134,7 @@ def bench_decode_13b(batch_size: int = 1, prompt_len: int = 128,
         lambda: model.init(jax.random.PRNGKey(0), ids, pos8,
                            method="init_all"))["params"])
 
-    def fill(path, x):
-        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
-        if x.dtype == jnp.int8:
-            return jax.random.randint(key, x.shape, -127, 128, jnp.int32
-                                      ).astype(jnp.int8)
-        if x.dtype == jnp.uint8:   # packed int4 nibbles
-            return jax.random.randint(key, x.shape, 0, 256, jnp.int32
-                                      ).astype(jnp.uint8)
-        return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
-                ).astype(x.dtype)
-
-    params = jax.jit(
-        lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
-    jax.block_until_ready(params)
+    params = _fill_like(shapes)
 
     width = 1 + spec_k                     # tokens per forward
     total = prompt_len + decode_steps * width
@@ -274,20 +297,7 @@ def bench_decode_turn(prompt_len: int = 512, text_steps: int = 9,
         lambda: model.init(jax.random.PRNGKey(0), ids, pos8,
                            method="init_all"))["params"])
 
-    def fill(path, x):
-        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
-        if x.dtype == jnp.int8:
-            return jax.random.randint(key, x.shape, -127, 128, jnp.int32
-                                      ).astype(jnp.int8)
-        if x.dtype == jnp.uint8:
-            return jax.random.randint(key, x.shape, 0, 256, jnp.int32
-                                      ).astype(jnp.uint8)
-        return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
-                ).astype(x.dtype)
-
-    params = jax.jit(
-        lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
-    jax.block_until_ready(params)
+    params = _fill_like(shapes)
 
     chunk = n_img + 1
     total = prompt_len + text_steps + chunk + 1
@@ -383,22 +393,9 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
     from seedx_tpu.models.sdxl.vae import VAEConfig, VAEDecoder
     from seedx_tpu.models.vit import VisionTransformer, qwen_vitg_448
 
-    def fill(path, x):
-        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
-        if x.dtype == jnp.int8:
-            return jax.random.randint(key, x.shape, -127, 128, jnp.int32
-                                      ).astype(jnp.int8)
-        if x.dtype == jnp.uint8:
-            return jax.random.randint(key, x.shape, 0, 256, jnp.int32
-                                      ).astype(jnp.uint8)
-        return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
-                ).astype(x.dtype)
-
     def materialize(init_fn):
         shapes = nn.meta.unbox(jax.eval_shape(init_fn)["params"])
-        p = jax.jit(lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
-        jax.block_until_ready(p)
-        return p
+        return _fill_like(shapes)
 
     # ---- resident weights, serving quantization ----
     vcfg = qwen_vitg_448(param_dtype=jnp.bfloat16, quantization="int8")
@@ -641,20 +638,7 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 0,
                            idsm, idsm, jnp.full((1, 2), 0.5),
                            method="init_all"))["params"])
 
-    def fill(path, x):
-        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
-        if x.dtype == jnp.int8:
-            return jax.random.randint(key, x.shape, -127, 128, jnp.int32
-                                      ).astype(jnp.int8)
-        if x.dtype == jnp.uint8:
-            return jax.random.randint(key, x.shape, 0, 256, jnp.int32
-                                      ).astype(jnp.uint8)
-        return (jax.random.normal(key, x.shape, jnp.float32) * 0.02
-                ).astype(x.dtype)
-
-    params = jax.jit(
-        lambda: jax.tree_util.tree_map_with_path(fill, shapes))()
-    jax.block_until_ready(params)
+    params = _fill_like(shapes)
 
     rt = types.SimpleNamespace(agent=model, agent_params=params,
                                agent_cfg=agent_cfg,
