@@ -362,7 +362,7 @@ def bench_decode_turn(prompt_len: int = 512, text_steps: int = 9,
 def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                        n_img: int = 64, denoise_steps: int = 30,
                        vit_tiles: int = 5, num_layers: int = 40,
-                       solver: str = "euler"):
+                       solver: str = "euler", phase_times: bool = False):
     """ONE process, every model family resident in HBM at serving
     quantization — ViT-bigG int8 (1.9G) + 13B LLM int4/int8-KV (~7G) +
     SDXL UNet int8 (2.6G) + detok resampler + VAE bf16 — running a full
@@ -519,6 +519,33 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
 
     float(turn(0))                     # compile + warm all three phases
     iters = 3
+    if phase_times:
+        # Diagnostic mode (NOTES_r3 open 1): time each jitted phase with a
+        # host-closed fetch, inputs varied per iter so the tunnel cannot
+        # dedupe.  The host closes add tunnel RTTs the chained turn doesn't
+        # pay, so the parts over-count slightly — use for attribution, not
+        # as the headline.
+        parts = {}
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            float(vit_encode(vit_params, tiles, jnp.bfloat16(i)))
+        parts["vit_s"] = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            float(llm_turn(llm_params, prompt, jnp.int32(i)))
+        parts["llm_s"] = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        for i in range(1, iters + 1):
+            float(image_out(res_params, unet_params, vae_params, span_feats,
+                            jnp.bfloat16(i)))
+        parts["img_s"] = (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        acc = jnp.float32(0)
+        for i in range(1, iters + 1):
+            acc = acc * 0 + turn(i)
+        float(acc)
+        parts["turn_s"] = (time.perf_counter() - t0) / iters
+        return parts
     t0 = time.perf_counter()
     acc = jnp.float32(0)
     for i in range(1, iters + 1):
@@ -853,6 +880,11 @@ def main():
     p.add_argument("--requests", type=int, default=0,
                    help="serve_continuous: queue depth (default 4x slots — "
                         "see bench_serve_continuous docstring)")
+    p.add_argument("--phases", action="store_true",
+                   help="e2e_resident: time each jitted phase separately "
+                        "with host-closed fetches (attribution diagnostic; "
+                        "slightly over-counts tunnel RTTs vs the chained "
+                        "turn)")
     p.add_argument("--pool-tokens", type=int, default=0,
                    help="serve_continuous --paged: override the shared KV "
                         "pool size in tokens (default 8 dense slots' worth; "
@@ -931,6 +963,22 @@ def _run_metric(args):
     elif args.metric == "e2e_resident":
         steps = args.steps if args.steps != 10 else (
             15 if args.solver == "dpmpp_2m" else 30)
+        if args.phases:
+            parts = bench_e2e_resident(denoise_steps=steps,
+                                       solver=args.solver, phase_times=True)
+            import gc
+            gc.collect()    # drop the resident tree before the gauges
+            print(json.dumps({
+                "metric": "e2e_resident_phase_times",
+                "value": round(parts["turn_s"], 2),
+                "unit": f"seconds ({args.solver}-{steps}; parts are "
+                        "host-closed per-phase timings)",
+                "vs_baseline": None,
+                "parts": {k: round(v, 3) for k, v in parts.items()},
+                "chip_gauge_tflops": round(chip_gauge(), 1),
+                "hbm_gauge_gbps": round(hbm_gauge(), 0),
+            }))
+            return
         value = min(bench_e2e_resident(denoise_steps=steps,
                                        solver=args.solver)
                     for _ in range(args.repeats))
