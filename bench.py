@@ -901,7 +901,7 @@ def main():
                    help="sdxl_denoise UNet weights (int8 = the serving-fit "
                         "config that co-resides with the int4 LLM in 16G)")
     p.add_argument("--solver", default="euler",
-                   choices=["euler", "dpmpp_2m"],
+                   choices=["euler", "dpmpp_2m", "dpmpp_3m"],
                    help="sdxl_denoise sampler (per-step cost is the same "
                         "UNet eval; dpmpp_2m needs ~half the steps)")
     p.add_argument("--steps", type=int, default=10,
@@ -962,7 +962,7 @@ def _run_metric(args):
         }))
     elif args.metric == "e2e_resident":
         steps = args.steps if args.steps != 10 else (
-            15 if args.solver == "dpmpp_2m" else 30)
+            30 if args.solver == "euler" else 15)
         if args.phases:
             parts = bench_e2e_resident(denoise_steps=steps,
                                        solver=args.solver, phase_times=True)
@@ -986,7 +986,8 @@ def _run_metric(args):
         gc.collect()        # drop the ~12G resident tree before the gauges
         print(json.dumps({
             "metric": "e2e_image_turn_resident_single_chip"
-                      + ("_dpmpp" if args.solver == "dpmpp_2m" else ""),
+                      + {"dpmpp_2m": "_dpmpp",
+                         "dpmpp_3m": "_dpmpp3"}.get(args.solver, ""),
             "value": round(value, 2),
             "unit": f"seconds (all families in HBM, one device-chained "
                     f"turn, {args.solver}-{steps})",
@@ -1025,7 +1026,8 @@ def _run_metric(args):
         print(json.dumps({
             "metric": "sdxl_unet_denoise_1024_cfg2"
                       + ("_int8" if uq == "int8" else "")
-                      + ("_dpmpp" if args.solver == "dpmpp_2m" else ""),
+                      + {"dpmpp_2m": "_dpmpp",
+                         "dpmpp_3m": "_dpmpp3"}.get(args.solver, ""),
             "value": round(value, 2),
             "unit": "steps/sec",
             "vs_baseline": None,

@@ -88,7 +88,8 @@ def main(argv=None):
                    choices=["instruct", "pretrain"])
     p.add_argument("--max_new_tokens", type=int, default=512)
     p.add_argument("--num_inference_steps", type=int, default=50)
-    p.add_argument("--solver", default="euler", choices=["euler", "dpmpp_2m"],
+    p.add_argument("--solver", default="euler",
+                   choices=["euler", "dpmpp_2m", "dpmpp_3m"],
                    help="diffusion sampler: euler = reference parity; "
                         "dpmpp_2m = DPM-Solver++(2M) Karras (~15 steps "
                         "match euler's 50-step quality)")

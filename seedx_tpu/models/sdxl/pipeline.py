@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from seedx_tpu.models.sdxl.scheduler import (EulerSchedule, dpmpp_2m_step,
-                                             euler_step, scale_model_input)
+                                             dpmpp_3m_step, euler_step,
+                                             scale_model_input)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,7 +43,7 @@ class SamplerConfig:
     vae_scale: int = 8
     vae_scaling_factor: float = 0.13025
 
-    solver: str = "euler"                  # "euler" (parity) | "dpmpp_2m"
+    solver: str = "euler"          # "euler" (parity) | "dpmpp_2m" | "dpmpp_3m"
 
     @property
     def latent_hw(self) -> Tuple[int, int]:
@@ -58,25 +59,34 @@ def _solver_scan(schedule: EulerSchedule, latents, eps_fn):
     """
     sigmas = jnp.asarray(schedule.sigmas)
     timesteps = jnp.asarray(schedule.timesteps)
-    use_dpm = schedule.solver == "dpmpp_2m"
-    if use_dpm:
+    solver = schedule.solver
+    if solver in ("dpmpp_2m", "dpmpp_3m"):
         r0s = jnp.asarray(schedule.r0)
         second = jnp.asarray(schedule.second_order)
+    if solver == "dpmpp_3m":
+        r1s = jnp.asarray(schedule.r1)
+        c1s = jnp.asarray(schedule.c1)
+        c2s = jnp.asarray(schedule.c2)
+        orders = jnp.asarray(schedule.order)
 
     def step(carry, i):
-        lat, prev_x0 = carry
+        lat, m1, m2 = carry
         sigma, sigma_next = sigmas[i], sigmas[i + 1]
         eps_cfg = eps_fn(lat, sigma, timesteps[i])
-        if use_dpm:
-            lat, prev_x0 = dpmpp_2m_step(lat, prev_x0, eps_cfg, sigma,
-                                         sigma_next, r0s[i], second[i])
+        if solver == "dpmpp_3m":
+            lat, m1, m2 = dpmpp_3m_step(lat, m1, m2, eps_cfg, sigma,
+                                        sigma_next, r0s[i], r1s[i],
+                                        c1s[i], c2s[i], orders[i])
+        elif solver == "dpmpp_2m":
+            lat, m1 = dpmpp_2m_step(lat, m1, eps_cfg, sigma,
+                                    sigma_next, r0s[i], second[i])
         else:
             lat = euler_step(lat, eps_cfg, sigma, sigma_next)
-        return (lat, prev_x0), None
+        return (lat, m1, m2), None
 
-    init = (latents, jnp.zeros(latents.shape, jnp.float32))
-    (latents, _), _ = jax.lax.scan(step, init,
-                                   jnp.arange(schedule.num_steps))
+    zeros = jnp.zeros(latents.shape, jnp.float32)
+    (latents, _, _), _ = jax.lax.scan(step, (latents, zeros, zeros),
+                                      jnp.arange(schedule.num_steps))
     return latents
 
 

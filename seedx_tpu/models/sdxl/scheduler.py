@@ -19,6 +19,31 @@ factors cancel when the sample is kept un-pre-scaled.  First and last steps
 are first-order (D = x0), matching diffusers' warm-up + final_sigmas_type
 ="zero" behavior.
 
+``solver="dpmpp_3m"`` adds the third-order multistep update (two x0 history
+points, divided-difference D1/D2) with the CANONICAL coefficients shared by
+diffusers' DPMSolverMultistepScheduler(solver_order=3), k-diffusion's
+sample_dpmpp_3m_sde(eta=0) and Lu et al.'s own repo:
+``x' = r*x + (1-r)*D0 + ((h+r-1)/h)*D1 - ((e^{-h}-1+h)/h^2 - 1/2)*D2``.
+Two caveats, both measured:
+
+* Coefficients (scratch/dpm3m_coeff_study.py): exact phi-function
+  quadrature of a quadratic x0(lambda) needs exactly TWICE the canonical
+  D2 weight (D2 = h^2*x0''/2 for any step ratios), so the canonical
+  scheme is asymptotically second-order with a smaller error constant
+  (on a quadratic x0 the exact weight is ~60x more accurate).  At
+  sampling step counts the canonical form still wins on nonlinear ODEs
+  (tanh study: beats 2M from n=14 up and the exact-weight variant at
+  n=10-20), so the canonical form — also the one users know from
+  diffusers/k-diffusion — ships.
+* Quality (scratch/solver3m_image_study.py, debug SDXL stack, PSNR/SSIM
+  of VAE-decoded outputs vs euler-200 truth, 3 seeds): **3M LOSES to 2M
+  at every tested step count (15/18/24) on every seed** (-1.0..-1.6 dB),
+  the opposite of the smooth-ODE ranking — the third-order extrapolation
+  amplifies the UNet's non-smooth eps into visible error at low step
+  counts.  ``dpmpp_3m`` therefore stays an opt-in option; the validated
+  quality-match config remains dpmpp_2m-24 and nothing in bench/configs
+  defaults to 3M.
+
 Everything is precomputed into arrays; the denoise loop is a ``lax.scan``
 over step indices (the reference's per-step ``xm.mark_step()`` at
 pipeline...py:962 confirms the loop body is XLA-friendly).
@@ -49,10 +74,15 @@ class EulerSchedule:
     timesteps: np.ndarray      # [n] descending float
     sigmas: np.ndarray         # [n + 1] (last entry 0.0)
     init_noise_sigma: float
-    solver: str = "euler"      # "euler" | "dpmpp_2m"
-    # DPM-Solver++(2M) tables (None for euler):
+    solver: str = "euler"      # "euler" | "dpmpp_2m" | "dpmpp_3m"
+    # DPM-Solver++ multistep tables (None for euler):
     r0: np.ndarray = None           # [n] h_prev/h per step (dummy 1.0 where 1st-order)
     second_order: np.ndarray = None  # [n] bool: use the multistep D1 correction
+    # DPM-Solver++(3M) extras (None otherwise):
+    r1: np.ndarray = None           # [n] h_prev2/h (dummy 1.0 where <3rd-order)
+    c1: np.ndarray = None           # [n] D1 coefficient (h+r-1)/h
+    c2: np.ndarray = None           # [n] D2 coefficient 1/2-(e^{-h}-1+h)/h^2
+    order: np.ndarray = None        # [n] int32 per-step order in {1,2,3}
 
     @property
     def num_steps(self) -> int:
@@ -99,7 +129,7 @@ def make_schedule(num_inference_steps: int,
     sigmas = np.interp(timesteps, np.arange(n_train), sigmas_full)
 
     if karras is None:
-        karras = solver == "dpmpp_2m"
+        karras = solver in ("dpmpp_2m", "dpmpp_3m")
     if karras:
         # Karras ramp over the model's FULL sigma range (k-diffusion
         # convention; "leading" pre-spacing would clip sigma_max from ~14.6
@@ -118,8 +148,8 @@ def make_schedule(num_inference_steps: int,
     else:
         init_noise_sigma = float((sigmas.max() ** 2 + 1) ** 0.5)
 
-    r0 = second = None
-    if solver == "dpmpp_2m":
+    r0 = r1 = c1 = c2 = order = second = None
+    if solver in ("dpmpp_2m", "dpmpp_3m"):
         sig = sigmas[:-1].astype(np.float64)
         n = len(sig)
         # h_i = lambda_{i+1} - lambda_i = log(sigma_i / sigma_{i+1}); the last
@@ -130,12 +160,28 @@ def make_schedule(num_inference_steps: int,
         r0 = (h_prev / h).astype(np.float32)
         second = np.zeros(n, bool)
         second[1:-1] = True
-    elif solver != "euler":
+    if solver == "dpmpp_3m":
+        h_prev2 = np.concatenate([[1.0, 1.0], h[:-2]]) if n > 2 else np.ones(n)
+        r1 = (h_prev2 / h).astype(np.float32)
+        r = sigmas[1:].astype(np.float64) / sig          # e^{-h}; 0 at last
+        with np.errstate(divide="ignore", invalid="ignore"):
+            c1 = ((h + r - 1.0) / h).astype(np.float32)
+            c2 = (0.5 - (r - 1.0 + h) / (h * h)).astype(np.float32)
+        order = np.minimum(np.arange(n) + 1, 3).astype(np.int32)
+        order[-1] = 1                                    # final sigma -> 0
+        if n >= 2 and num_inference_steps < 15:
+            # diffusers lower_order_final: stabilize very short schedules
+            order[-2] = min(order[-2], 2)
+        # dummy-out coefficients where the order never uses them
+        c1 = np.where(order >= 3, c1, 0.0).astype(np.float32)
+        c2 = np.where(order >= 3, c2, 0.0).astype(np.float32)
+    elif solver not in ("euler", "dpmpp_2m"):
         raise NotImplementedError(solver)
 
     return EulerSchedule(timesteps=timesteps.astype(np.float32),
                          sigmas=sigmas, init_noise_sigma=init_noise_sigma,
-                         solver=solver, r0=r0, second_order=second)
+                         solver=solver, r0=r0, second_order=second,
+                         r1=r1, c1=c1, c2=c2, order=order)
 
 
 def scale_model_input(sample: jnp.ndarray, sigma) -> jnp.ndarray:
@@ -171,6 +217,31 @@ def dpmpp_2m_step(sample: jnp.ndarray, prev_x0: jnp.ndarray, eps: jnp.ndarray,
     d = jnp.where(use_second, x0 + 0.5 * d1, x0)
     r = sigma_next / sigma
     return (r * x + (1.0 - r) * d).astype(dtype), x0
+
+
+def dpmpp_3m_step(sample: jnp.ndarray, m1: jnp.ndarray, m2: jnp.ndarray,
+                  eps: jnp.ndarray, sigma, sigma_next, r0, r1, c1, c2, order):
+    """One DPM-Solver++(3M) multistep update in Euler sigma-space.
+
+    m1/m2 are the previous two steps' x0 predictions (zeros until the
+    history exists — ``order`` gates their use).  Divided differences follow
+    diffusers' third-order update; at order 2 the midpoint 2M rule applies;
+    at order 1 (warm-up and the final sigma->0 step) D = x0.  Returns
+    (new_sample, m0, m1) — the x0 history shifted by one.
+    """
+    dtype = sample.dtype
+    x = sample.astype(jnp.float32)
+    m0 = x - sigma * eps.astype(jnp.float32)
+    d1_0 = (m0 - m1) / r0
+    d1_1 = (m1 - m2) / r1
+    d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+    d2 = (d1_0 - d1_1) / (r0 + r1)
+    r = sigma_next / sigma
+    first = r * x + (1.0 - r) * m0
+    out = jnp.where(
+        order >= 3, first + c1 * d1 + c2 * d2,
+        jnp.where(order == 2, first + (1.0 - r) * 0.5 * d1_0, first))
+    return out.astype(dtype), m0, m1
 
 
 def add_noise(original: jnp.ndarray, noise: jnp.ndarray, sigma) -> jnp.ndarray:
