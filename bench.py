@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import time
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +57,10 @@ def _fill_like(shapes):
         return cache[sig]
 
     def fill(path, x):
-        key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+        # crc32, not hash(): PYTHONHASHSEED salts str hashes, and the bench
+        # weights should be identical run-to-run (ADVICE r3)
+        key = jax.random.PRNGKey(
+            zlib.crc32(str(path).encode()) % (2 ** 31))
         return gen_for(x.shape, x.dtype)(key)
 
     out = jax.tree_util.tree_map_with_path(fill, shapes)
@@ -365,7 +369,7 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                        solver: str = "euler", phase_times: bool = False):
     """ONE process, every model family resident in HBM at serving
     quantization — ViT-bigG int8 (1.9G) + 13B LLM int4/int8-KV (~7G) +
-    SDXL UNet int8 (2.6G) + detok resampler + VAE bf16 — running a full
+    SDXL UNet int8 (2.6G) + detok resampler + VAE fp32 — running a full
     image turn back-to-back: anyres-5 ViT encode -> 512-token prefill +
     9 text steps + forced 64+1 image-span chunk + 1 step -> ResamplerXL ->
     30-step CFG-2 denoise at 1024 -> VAE decode.  Phases are chained by

@@ -20,9 +20,12 @@ are first-order (D = x0), matching diffusers' warm-up + final_sigmas_type
 ="zero" behavior.
 
 ``solver="dpmpp_3m"`` adds the third-order multistep update (two x0 history
-points, divided-difference D1/D2) with the CANONICAL coefficients shared by
-diffusers' DPMSolverMultistepScheduler(solver_order=3), k-diffusion's
-sample_dpmpp_3m_sde(eta=0) and Lu et al.'s own repo:
+points, divided-difference D1/D2) with the CANONICAL order-3 coefficients
+shared by diffusers' DPMSolverMultistepScheduler(solver_order=3),
+k-diffusion's sample_dpmpp_3m_sde(eta=0) and Lu et al.'s own repo (the
+order-2 WARM-UP step follows diffusers' midpoint rule, (1-r)*0.5*D1_0;
+k-diffusion's 3M warm-up uses the phi_2*D form instead, so the second
+step's trajectory differs slightly between the two — ADVICE r3):
 ``x' = r*x + (1-r)*D0 + ((h+r-1)/h)*D1 - ((e^{-h}-1+h)/h^2 - 1/2)*D2``.
 Two caveats, both measured:
 

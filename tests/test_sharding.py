@@ -235,8 +235,6 @@ def test_sharded_continuous_engine_matches_single():
     must reproduce the unsharded engine's results token-for-token.  The
     reference serves eager single-GPU only (SURVEY.md §2a row 6); SPMD
     continuous serving is a beyond-parity extra, certified here."""
-    from PIL import Image
-
     from seedx_tpu.inference.continuous import ContinuousEngine
     from seedx_tpu.inference.runtime import SeedXRuntime
     from seedx_tpu.text import prompts
