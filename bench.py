@@ -366,7 +366,8 @@ def bench_decode_turn(prompt_len: int = 512, text_steps: int = 9,
 def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                        n_img: int = 64, denoise_steps: int = 30,
                        vit_tiles: int = 5, num_layers: int = 40,
-                       solver: str = "euler", phase_times: bool = False):
+                       solver: str = "euler", phase_times: bool = False,
+                       edit: bool = False):
     """ONE process, every model family resident in HBM at serving
     quantization — ViT-bigG int8 (1.9G) + 13B LLM int4/int8-KV (~7G) +
     SDXL UNet int8 (2.6G) + detok resampler + VAE fp32 — running a full
@@ -382,6 +383,13 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
     bench_decode_turn; the resampler consumes a random 4096-d span stand-in
     chained on the LLM hidden state.  Both approximations are cheap relative
     to their phases.
+
+    ``edit=True`` measures the SEED-X-Edit turn instead (VERDICT r3 item
+    2): the flagship edit flow's condition-image VAE ENCODE + the 8-channel
+    conv_in UNet running 3-way InstructPix2Pix CFG (a x3 batch per step vs
+    x2 for t2i; reference pipeline...py:905-937, :490-551), at the edit
+    script's single-448-tile ViT input (eval_img2edit_seed_x_edit.py has no
+    anyres tiling).
     """
     from flax import linen as nn
 
@@ -390,12 +398,18 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                                         llama2_13b)
     from seedx_tpu.models.sdxl.pipeline import (SamplerConfig,
                                                 default_time_ids,
+                                                denoise_edit,
                                                 denoise_text2image,
                                                 prepare_latents)
     from seedx_tpu.models.sdxl.scheduler import make_schedule
-    from seedx_tpu.models.sdxl.unet import UNet2DCondition, sdxl_base_unet
-    from seedx_tpu.models.sdxl.vae import VAEConfig, VAEDecoder
+    from seedx_tpu.models.sdxl.unet import (UNet2DCondition, sdxl_base_unet,
+                                            sdxl_edit_unet)
+    from seedx_tpu.models.sdxl.vae import (VAEConfig, VAEDecoder, VAEEncoder,
+                                           sample_moments)
     from seedx_tpu.models.vit import VisionTransformer, qwen_vitg_448
+
+    if edit:
+        vit_tiles = 1   # the edit script feeds one 448 tile (no anyres)
 
     def materialize(init_fn):
         shapes = nn.meta.unbox(jax.eval_shape(init_fn)["params"])
@@ -427,7 +441,8 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                                jnp.zeros((1, n_img, rcfg.embedding_dim),
                                          jnp.bfloat16)))
 
-    ucfg = sdxl_base_unet(param_dtype=jnp.bfloat16, quantize="int8")
+    mk_unet = sdxl_edit_unet if edit else sdxl_base_unet
+    ucfg = mk_unet(param_dtype=jnp.bfloat16, quantize="int8")
     unet = UNet2DCondition(ucfg)
     scfg = SamplerConfig(height=1024, width=1024,
                          num_inference_steps=denoise_steps, solver=solver)
@@ -436,7 +451,8 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
     tids = default_time_ids(scfg, 1)
     unet_params = materialize(
         lambda: unet.init(jax.random.PRNGKey(0),
-                          jnp.zeros((1, h, w, 4), jnp.bfloat16),
+                          jnp.zeros((1, h, w, ucfg.in_channels),
+                                    jnp.bfloat16),
                           jnp.array([1.0]),
                           jnp.zeros((1, n_img, ucfg.cross_attention_dim),
                                     jnp.bfloat16),
@@ -447,6 +463,15 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
     vae_params = materialize(
         lambda: vae.init(jax.random.PRNGKey(0),
                          jnp.zeros((1, h, w, 4), jnp.bfloat16)))
+    if edit:
+        vae_enc = VAEEncoder(vae_cfg)
+        enc_params = materialize(
+            lambda: vae_enc.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, scfg.height, scfg.width, 3), jnp.bfloat16)))
+        cond_image = jax.random.uniform(
+            jax.random.PRNGKey(11), (1, scfg.height, scfg.width, 3),
+            jnp.float32, -1.0, 1.0)
 
     # ---- jitted phases (chained by data dependencies) ----
     @jax.jit
@@ -495,17 +520,39 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
         return (jnp.sum(lg2[:, -1]).astype(jnp.float32)
                 + jnp.sum(hidden[:, -1]).astype(jnp.float32))
 
-    @jax.jit
-    def image_out(p_res, p_unet, p_vae, span_feats, shift):
-        ctx, pooled = resampler.apply({"params": p_res}, span_feats + shift)
-        latents = prepare_latents(jax.random.PRNGKey(3), 1, scfg, schedule,
-                                  jnp.bfloat16)
-        lat = denoise_text2image(unet, p_unet, schedule, latents,
-                                 ctx.astype(jnp.bfloat16), ctx * 0,
-                                 pooled.astype(jnp.bfloat16), pooled * 0,
-                                 tids)
-        img = vae.apply({"params": p_vae}, lat / vae_cfg.scaling_factor)
-        return jnp.sum(img.astype(jnp.float32))
+    if edit:
+        @jax.jit
+        def image_out(p_res, p_unet, p_vae, span_feats, shift):
+            # condition VAE encode + 3-way InstructPix2Pix CFG (x3 batch
+            # per UNet eval) — the SEED-X-Edit serving path
+            ctx, pooled = resampler.apply({"params": p_res},
+                                          span_feats + shift)
+            moments = vae_enc.apply({"params": enc_params},
+                                    cond_image + shift.astype(jnp.float32))
+            image_latents = sample_moments(moments)   # .mode()
+            latents = prepare_latents(jax.random.PRNGKey(3), 1, scfg,
+                                      schedule, jnp.bfloat16)
+            lat = denoise_edit(unet, p_unet, schedule, latents,
+                               image_latents.astype(jnp.bfloat16),
+                               ctx.astype(jnp.bfloat16), ctx * 0,
+                               pooled.astype(jnp.bfloat16), pooled * 0,
+                               tids,
+                               image_guidance_scale=scfg.image_guidance_scale)
+            img = vae.apply({"params": p_vae}, lat / vae_cfg.scaling_factor)
+            return jnp.sum(img.astype(jnp.float32))
+    else:
+        @jax.jit
+        def image_out(p_res, p_unet, p_vae, span_feats, shift):
+            ctx, pooled = resampler.apply({"params": p_res},
+                                          span_feats + shift)
+            latents = prepare_latents(jax.random.PRNGKey(3), 1, scfg,
+                                      schedule, jnp.bfloat16)
+            lat = denoise_text2image(unet, p_unet, schedule, latents,
+                                     ctx.astype(jnp.bfloat16), ctx * 0,
+                                     pooled.astype(jnp.bfloat16), pooled * 0,
+                                     tids)
+            img = vae.apply({"params": p_vae}, lat / vae_cfg.scaling_factor)
+            return jnp.sum(img.astype(jnp.float32))
 
     prompt = jax.random.randint(jax.random.PRNGKey(0), (1, prompt_len),
                                 0, 32000)
@@ -623,7 +670,9 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 0,
                            prompt_len: int = 120, max_new_tokens: int = 128,
                            num_layers: int = 40, paged: bool = False,
                            pool_tokens: int = 0,
-                           decode_attention: str = "auto"):
+                           decode_attention: str = "auto",
+                           fused_prefill: bool = None,
+                           prefill_width: int = 8):
     """Continuous-batching serving throughput on the full 13B geometry
     (int4 weights + int8 KV): heterogeneous per-request budgets (1/4, 1/2,
     1x max_new_tokens round-robin) so slots free at different times and the
@@ -699,6 +748,9 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 0,
         kw = (dict(paged=True, page_size=128,
                    pool_tokens=pool_tokens or 8 * (256 + max_new_tokens))
               if paged else {})
+        if fused_prefill is not None:
+            kw["fused_prefill"] = fused_prefill
+            kw["prefill_width"] = prefill_width
         eng = ContinuousEngine(rt, slots=slots,
                                max_new_tokens=max_new_tokens,
                                chunk_steps=32, prompt_buckets=(256,), **kw)
@@ -861,8 +913,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--metric", default="e2e_turn",
                    choices=["vit_encode", "decode_13b", "sdxl_denoise",
-                            "e2e_turn", "e2e_resident", "serve_continuous",
-                            "train_step"])
+                            "e2e_turn", "e2e_resident", "e2e_edit",
+                            "serve_continuous", "train_step"])
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--batch", type=int, default=1,
                    help="decode_13b batch size (batched serving engine "
@@ -896,6 +948,14 @@ def main():
     p.add_argument("--slots", type=int, default=0,
                    help="serve_continuous: slot-pool size override "
                         "(default 8 dense / 16 paged)")
+    p.add_argument("--fused", default="auto", choices=["auto", "on", "off"],
+                   help="serve_continuous: fused (Sarathi-style) chunked "
+                        "prefill — prompts ride the decode chunks instead "
+                        "of stalling slots on bucket prefills (auto = "
+                        "engine default: on for dense, off for paged)")
+    p.add_argument("--prefill-width", type=int, default=8,
+                   help="serve_continuous --fused: prompt tokens consumed "
+                        "per prefilling row per mixed decode step")
     p.add_argument("--decode-attn", default="auto",
                    choices=["auto", "never"],
                    help="decode_13b/serve_continuous: 'never' disables the "
@@ -999,6 +1059,47 @@ def _run_metric(args):
             "chip_gauge_tflops": round(chip_gauge(), 1),
             "hbm_gauge_gbps": round(hbm_gauge(), 0),
         }))
+    elif args.metric == "e2e_edit":
+        # The SEED-X-Edit turn, all-resident: condition VAE encode + 8-ch
+        # UNet 3-way CFG (x3 batch/step vs x2 t2i) — expected ~1.5x the t2i
+        # denoise term (VERDICT r3 item 2; reference
+        # eval_img2edit_seed_x_edit.py:120-153)
+        steps = args.steps if args.steps != 10 else (
+            30 if args.solver == "euler" else 24)
+        if args.phases:
+            parts = bench_e2e_resident(denoise_steps=steps,
+                                       solver=args.solver, phase_times=True,
+                                       edit=True)
+            import gc
+            gc.collect()
+            print(json.dumps({
+                "metric": "e2e_edit_phase_times",
+                "value": round(parts["turn_s"], 2),
+                "unit": f"seconds ({args.solver}-{steps}; parts are "
+                        "host-closed per-phase timings)",
+                "vs_baseline": None,
+                "parts": {k: round(v, 3) for k, v in parts.items()},
+                "chip_gauge_tflops": round(chip_gauge(), 1),
+                "hbm_gauge_gbps": round(hbm_gauge(), 0),
+            }))
+            return
+        value = min(bench_e2e_resident(denoise_steps=steps,
+                                       solver=args.solver, edit=True)
+                    for _ in range(args.repeats))
+        import gc
+        gc.collect()
+        print(json.dumps({
+            "metric": "e2e_edit_turn_resident_single_chip"
+                      + {"dpmpp_2m": "_dpmpp",
+                         "dpmpp_3m": "_dpmpp3"}.get(args.solver, ""),
+            "value": round(value, 2),
+            "unit": f"seconds (edit: cond VAE encode + 8ch UNet 3-way CFG, "
+                    f"all families in HBM, one device-chained turn, "
+                    f"{args.solver}-{steps})",
+            "vs_baseline": round(5.0 / value, 2),
+            "chip_gauge_tflops": round(chip_gauge(), 1),
+            "hbm_gauge_gbps": round(hbm_gauge(), 0),
+        }))
     elif args.metric == "train_step":
         value = _best_of(bench_train_step, args.repeats)
         print(json.dumps({
@@ -1009,14 +1110,20 @@ def _run_metric(args):
         }))
     elif args.metric == "serve_continuous":
         slots = args.slots or (12 if args.paged else 8)
+        fused = {"auto": None, "on": True, "off": False}[args.fused]
         value = _best_of(lambda: bench_serve_continuous(
             slots=slots, n_requests=args.requests, paged=args.paged,
             pool_tokens=args.pool_tokens,
-            decode_attention=args.decode_attn), args.repeats)
+            decode_attention=args.decode_attn,
+            fused_prefill=fused,
+            prefill_width=args.prefill_width), args.repeats)
+        fused_on = fused if fused is not None else not args.paged
+        tag = "_fused" if fused_on else ""
         print(json.dumps({
-            "metric": (f"llama13b_int4_serve_paged_{slots}slot"
+            "metric": (f"llama13b_int4_serve_paged_{slots}slot{tag}"
                        if args.paged
-                       else f"llama13b_int4_serve_continuous_{slots}slot"),
+                       else f"llama13b_int4_serve_continuous_{slots}slot"
+                       f"{tag}"),
             "value": round(value, 2),
             "unit": "tokens/sec/chip (heterogeneous budgets, rolling "
                     "admission" + (f", {slots} slots in 8 dense slots' KV "

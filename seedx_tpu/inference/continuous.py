@@ -25,6 +25,21 @@ per-row, so image spans interleave freely with text across slots.  Greedy
 decoding by default (the reference's inference default, seed_x.py:180);
 ``do_sample`` enables temperature/top-p sampling — forced image spans stay
 exact because the constrained decoder's forcing is absolute.
+
+FUSED (chunked) PREFILL — ``fused_prefill=True`` (default for dense
+engines): instead of a synchronous prompt-bucket prefill that stalls every
+live slot on each admission (r3 profiling: serving is prefill/admission
+dominated), admission just writes the request's prompt EMBEDDINGS into a
+per-slot buffer (cheap; image splicing happens here once), and the decode
+chunk becomes a MIXED step over a ``[slots, w]`` token window: decoding
+rows occupy 1 window slot (their sampled token), prefilling rows consume
+up to ``w`` prompt tokens per step, written at per-row cache offsets with
+out-of-bounds-drop scatters.  Decode is weight-stream bound, so the extra
+window rows ride the same int4 stream — prompt prefill comes nearly free
+(Sarathi-style piggybacking), admission latency collapses to a buffer
+write, and freed slots restart instantly.  Token-exact vs the legacy
+bucket-prefill path (greedy); per-request budgets, image prompts, and
+constrained image spans all behave identically.
 """
 
 from __future__ import annotations
@@ -130,6 +145,136 @@ def _admit_paged(state, row, mini_cache, src_row, p_len, last_logits,
     return state
 
 
+@functools.partial(jax.jit, donate_argnames=("state",))
+def _admit_fused(state, row, embeds, p_len, last_token, budget,
+                 tile_ids=None):
+    """Fused-prefill admission: write the request's padded prompt
+    embeddings [1, p_pad, D] into slot ``row``'s prompt buffer and arm the
+    per-row prefill cursor.  No prompt forward happens here — the mixed
+    decode chunk consumes the buffer w tokens per step.  ``tile_ids``
+    (paged mode) points the slot's block table at its allocated pool
+    tiles; prefill KV writes resolve through it."""
+    state = dict(state)
+    if tile_ids is not None:
+        state["tables"] = state["tables"].at[row].set(tile_ids)
+    state["prompt_embeds"] = jax.lax.dynamic_update_slice(
+        state["prompt_embeds"], embeds.astype(state["prompt_embeds"].dtype),
+        (row, 0, 0))
+    upd = lambda buf, v: buf.at[row].set(jnp.asarray(v, buf.dtype))
+    state["pos"] = upd(state["pos"], jnp.int32(0))
+    state["p_pos"] = upd(state["p_pos"], jnp.int32(0))
+    state["p_len"] = upd(state["p_len"], p_len)
+    state["length"] = upd(state["length"], p_len)
+    state["n"] = upd(state["n"], jnp.int32(0))
+    # prev_token = the LAST PROMPT token: it survives prefill untouched, so
+    # the first sampled step sees it for constrained image-span forcing
+    # (matches the legacy admission's last_token contract)
+    state["prev_token"] = upd(state["prev_token"], last_token)
+    state["running"] = upd(state["running"], True)
+    state["budget"] = upd(state["budget"], budget)
+    state["out_tokens"] = state["out_tokens"].at[row].set(0)
+    return state
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "gen_cfg", "vocab", "k", "s_max", "w"),
+    donate_argnames=("state",))
+def _mixed_chunk(model, variables, state, gen_cfg: GenerationConfig,
+                 vocab: MultimodalVocab, k: int, s_max: int, w: int):
+    """Advance every slot by up to ``k`` MIXED steps: decoding rows emit one
+    greedy/sampled token per step; prefilling rows consume up to ``w``
+    prompt-buffer tokens per step (their KV rides the decode weight
+    stream).  A row whose prefill completes at step i starts sampling at
+    step i+1 — its final prompt position's logits land in prev_logits."""
+    b, t = state["out_tokens"].shape
+    n_img = gen_cfg.num_img_gen_tokens
+    rows = jnp.arange(b)
+    hid_dtype = state["out_hidden"].dtype
+
+    def step(st):
+        state, i = st
+        running = state["running"]
+        prefilling = running & (state["p_pos"] < state["p_len"])
+        decoding = running & ~prefilling
+
+        constrained = constrain_image_tokens(
+            state["prev_token"], state["prev_logits"], vocab, n_img)
+        rng, sub = jax.random.split(state["rng"])
+        token = _sample(constrained, sub, gen_cfg).astype(jnp.int32)
+        token = jnp.where(decoding, token, gen_cfg.pad_token_id)
+        state = dict(state, rng=rng)
+
+        # collect (read-modify-write so non-decoding rows keep their cells)
+        n_w = jnp.minimum(state["n"], t - 1)
+        cur_tok = state["out_tokens"][rows, n_w]
+        out_tokens = state["out_tokens"].at[rows, n_w].set(
+            jnp.where(decoding, token, cur_tok))
+        cur_hid = state["out_hidden"][rows, n_w]
+        out_hidden = state["out_hidden"].at[rows, n_w].set(
+            jnp.where(decoding[:, None],
+                      state["prev_hidden"].astype(hid_dtype), cur_hid))
+
+        ended = token == gen_cfg.eos_token_id
+        n_new = jnp.where(decoding, state["n"] + 1, state["n"])
+        still = jnp.where(decoding,
+                          decoding & ~ended & (n_new < state["budget"]),
+                          running)
+
+        # window [b, w, D]: prompt slice for prefilling rows; the sampled
+        # token at slot 0 (rest garbage) for decoding rows
+        tok_embeds = model.apply(variables, token[:, None],
+                                 method="embed_ids")
+        prompt_win = jax.vmap(
+            lambda pe, p: jax.lax.dynamic_slice(
+                pe, (p, 0), (w, pe.shape[-1])))(
+            state["prompt_embeds"], state["p_pos"])
+        tok_win = jnp.pad(tok_embeds.astype(prompt_win.dtype),
+                          ((0, 0), (0, w - 1), (0, 0)))
+        embeds = jnp.where(prefilling[:, None, None], prompt_win, tok_win)
+
+        w_valid = jnp.where(
+            prefilling,
+            jnp.minimum(w, state["p_len"] - state["p_pos"]),
+            jnp.where(decoding, 1, 0)).astype(jnp.int32)
+        pos = state["pos"]
+        positions = pos[:, None] + jnp.arange(w)[None, :]
+        # kv window: row-level end mask (required at w==1, where the seq-1
+        # path has no causal bias); for w>1 the per-row causal bias
+        # (q_offset=pos) additionally stops queries seeing later window
+        # slots, so together each query sees exactly [0, pos+i]
+        kv_valid = (jnp.arange(s_max)[None, :]
+                    <= (pos + w_valid - 1)[:, None])
+        logits, hidden, cache = model.apply(
+            variables, embeds, positions, kv_valid, state["cache"], pos,
+            method="llm_step", block_tables=state.get("tables"),
+            write_widths=w_valid)
+        last = jnp.maximum(w_valid - 1, 0)[:, None, None]
+        last_logits = jnp.take_along_axis(logits, last, axis=1)[:, 0]
+        last_hidden = jnp.take_along_axis(hidden, last, axis=1)[:, 0]
+
+        active = prefilling | decoding
+        keep = lambda new, old: jnp.where(active[:, None], new, old)
+        state = dict(
+            state, cache=cache, out_tokens=out_tokens, out_hidden=out_hidden,
+            n=n_new, running=still,
+            pos=pos + w_valid,                       # 0 for frozen rows
+            p_pos=state["p_pos"] + jnp.where(prefilling, w_valid, 0),
+            length=jnp.where(decoding, state["length"] + 1, state["length"]),
+            prev_logits=keep(last_logits.astype(jnp.float32),
+                             state["prev_logits"]),
+            prev_hidden=keep(last_hidden, state["prev_hidden"]),
+            prev_token=jnp.where(decoding, token, state["prev_token"]))
+        return state, i + 1
+
+    def cond(st):
+        state, i = st
+        return (i < k) & jnp.any(state["running"])
+
+    state, _ = jax.lax.while_loop(cond, step, (state, jnp.int32(0)))
+    return state
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "gen_cfg", "vocab", "k", "s_max"),
@@ -218,7 +363,9 @@ class ContinuousEngine:
                  do_sample: bool = False, temperature: float = 0.7,
                  top_p: float = 0.5, seed: int = 0,
                  paged: bool = False, page_size: int = 128,
-                 pool_tokens: int = 0):
+                 pool_tokens: int = 0,
+                 fused_prefill: Optional[bool] = None,
+                 prefill_width: int = 8):
         """``paged=True`` replaces the dense per-slot KV reservation
         (slots x (max_bucket + max_new_tokens) rows) with a shared tile
         pool + per-slot block tables (vLLM-style): requests only hold
@@ -226,7 +373,14 @@ class ContinuousEngine:
         fit where dense slots reserve worst-case, and ``pool_tokens``
         (default: the dense footprint) sizes memory independently of the
         slot count.  Requires the int4 stacked decode path with ragged
-        attention (models/decode_stacked.py paged mode)."""
+        attention (models/decode_stacked.py paged mode).
+
+        ``fused_prefill`` (default: on for dense, opt-in for paged)
+        interleaves prompt prefill into the decode chunks
+        ``prefill_width`` tokens per row per step instead of stalling all
+        slots on bucket prefills — see the module docstring.  Paged mode
+        composes: prefill KV writes resolve through the slot's block
+        table (the multi-query ragged kernel's paged stair)."""
         self.rt = rt
         self.model: ContinuousLVLM = rt.agent
         self.variables = {"params": rt.agent_params}
@@ -253,6 +407,15 @@ class ContinuousEngine:
         s_max = max(self.gen_cfg.prompt_buckets) + t
         self._s_max = s_max
         self.paged = paged
+        if fused_prefill is None:
+            # dense default; paged opts in explicitly (its fused path is
+            # parity-tested but the TPU A/B evidence is dense-first)
+            fused_prefill = not paged
+        self.fused = fused_prefill
+        self.prefill_width = prefill_width
+        # host mirror of each slot's remaining prompt tokens (exact: every
+        # mixed step consumes min(w, remaining))
+        self._prefill_remaining = [0] * slots
         if paged:
             if cfg.quantization != "int4" or cfg.decode_attention == "never":
                 raise ValueError("paged KV requires quantization='int4' "
@@ -309,6 +472,14 @@ class ContinuousEngine:
         if paged:
             self.state["tables"] = jnp.zeros((slots, s_max // page_size),
                                              jnp.int32)
+        if self.fused:
+            # +prefill_width pad rows: the window dynamic_slice must never
+            # clamp (a clamped start would shift real tokens)
+            self._p_pad = max(self.gen_cfg.prompt_buckets) + prefill_width
+            self.state["prompt_embeds"] = jnp.zeros(
+                (slots, self._p_pad, cfg.hidden_size), cfg.dtype)
+            self.state["p_pos"] = jnp.zeros((slots,), jnp.int32)
+            self.state["p_len"] = jnp.zeros((slots,), jnp.int32)
 
     def warmup(self, buckets=None):
         """Precompile the admission grid: one batched prefill AND one admit
@@ -317,7 +488,38 @@ class ContinuousEngine:
         some number of slots frees together.  Text-only shapes; image-
         carrying prompts add their own embed_with_images variants on first
         use.  Call before submitting (warm admits scribble on a FREE slot's
-        inert rows and clear the running flag after)."""
+        inert rows and clear the running flag after).
+
+        Fused mode needs only THREE programs regardless of bucket/batch
+        shape: the prompt embed at the single padded length, the admit, and
+        the mixed chunk (+ the pure-decode chunk compiled by run())."""
+        if self.fused:
+            free = next((i for i, r in enumerate(self._slot_req)
+                         if r is None), None)
+            if free is None:
+                return self
+            dummy = {"input_ids": [1, 2]}
+            embeds = self._embed_prompt(dummy)
+            tile_arg = None
+            if self.paged:
+                # all-zero table: every write resolves to the reserved dump
+                # tile's rows (never referenced by a live window)
+                tile_arg = jnp.zeros((self._s_max // self.page,), jnp.int32)
+            self.state = _admit_fused(
+                self.state, jnp.int32(free), embeds, jnp.int32(2),
+                jnp.int32(2), jnp.int32(0), tile_ids=tile_arg)
+            self.state = _mixed_chunk(
+                self.model, self.variables, self.state, self.gen_cfg,
+                self.vocab, self.chunk_steps, self._s_max,
+                self.prefill_width)
+            self.state = _decode_chunk(
+                self.model, self.variables, self.state, self.gen_cfg,
+                self.vocab, self.chunk_steps, self._s_max)
+            self.state = dict(
+                self.state,
+                running=self.state["running"].at[free].set(False),
+                p_len=self.state["p_len"].at[free].set(0))
+            return self
         buckets = tuple(buckets) if buckets is not None \
             else self.gen_cfg.prompt_buckets
         dummy = {"input_ids": [1, 2]}
@@ -382,6 +584,33 @@ class ContinuousEngine:
 
     # ---- internals -------------------------------------------------------
 
+    def _embed_prompt(self, request):
+        """Fused admission embed: ONE request's prompt (ids + spliced image
+        embeddings) padded to the fixed buffer length -> [1, p_pad, D].
+        Exactly one compile for text prompts (padding is a gather no-op);
+        image-carrying prompts add one variant per image count."""
+        p_pad = self._p_pad
+        pad_id = self.gen_cfg.pad_token_id
+        ids = np.full((1, p_pad), pad_id, np.int32)
+        p = len(request["input_ids"])
+        ids[0, :p] = np.asarray(request["input_ids"], np.int32)
+        cm = request.get("ids_cmp_mask")
+        cmp_padded = None
+        if cm is not None:
+            cmp_padded = np.zeros((1, p_pad), bool)
+            cmp_padded[0, :p] = np.asarray(cm, bool)
+        image_embeds = request.get("image_embeds")
+        ecm = ppos = None
+        if image_embeds is not None:
+            ecm = jnp.asarray(np.asarray(request["embeds_cmp_mask"], bool))
+            pp = request.get("patch_positions")
+            ppos = jnp.asarray(pp) if pp is not None else None
+        return self.model.apply(
+            self.variables, jnp.asarray(ids),
+            image_embeds,
+            jnp.asarray(cmp_padded) if cmp_padded is not None else None,
+            ecm, ppos, method="embed_with_images")
+
     def _prefill_group(self, requests, bucket):
         """ONE batched prefill for every request of a prompt bucket; prompts
         are RIGHT-padded (no left pad needed — every slot row starts its
@@ -439,6 +668,39 @@ class ContinuousEngine:
             return
         take, self._pending = (self._pending[:len(free)],
                                self._pending[len(free):])
+        if self.fused:
+            # admission = a prompt-buffer write; prefill happens inside the
+            # mixed decode chunks (no bucket forward, no slot stall)
+            if self.paged:
+                admitted, deferred, avail = [], [], len(self._free_tiles)
+                for item in take:
+                    n_t = self._tiles_needed(item[1], item[2])
+                    if n_t <= avail:
+                        avail -= n_t
+                        admitted.append(item)
+                    else:
+                        deferred.append(item)
+                self._pending = deferred + self._pending
+                take = admitted
+            for rid, request, budget in take:
+                row = free.pop(0)
+                embeds = self._embed_prompt(request)
+                p_len = len(request["input_ids"])
+                tile_arg = None
+                if self.paged:
+                    n_t = self._tiles_needed(request, budget)
+                    tiles = [self._free_tiles.pop() for _ in range(n_t)]
+                    self._slot_tiles[row] = tiles
+                    ids = np.zeros((self._s_max // self.page,), np.int32)
+                    ids[:n_t] = tiles
+                    tile_arg = jnp.asarray(ids)
+                self.state = _admit_fused(
+                    self.state, jnp.int32(row), embeds, jnp.int32(p_len),
+                    jnp.int32(request["input_ids"][-1]), jnp.int32(budget),
+                    tile_ids=tile_arg)
+                self._slot_req[row] = rid
+                self._prefill_remaining[row] = p_len
+            return
         if self.paged:
             # best-effort FCFS: defer requests the tile pool can't hold yet
             # (their tiles free as running slots harvest)
@@ -549,9 +811,20 @@ class ContinuousEngine:
         """Admit -> one decode chunk -> harvest.  Returns #results ready."""
         self._admit_pending()
         if any(r is not None for r in self._slot_req):
-            self.state = _decode_chunk(self.model, self.variables, self.state,
-                                       self.gen_cfg, self.vocab,
-                                       self.chunk_steps, self._s_max)
+            if self.fused and any(r > 0 for r in self._prefill_remaining):
+                # someone is mid-prompt: run the mixed (prefill+decode)
+                # program; each step consumes min(w, remaining) per row
+                self.state = _mixed_chunk(
+                    self.model, self.variables, self.state, self.gen_cfg,
+                    self.vocab, self.chunk_steps, self._s_max,
+                    self.prefill_width)
+                burn = self.chunk_steps * self.prefill_width
+                self._prefill_remaining = [
+                    max(0, r - burn) for r in self._prefill_remaining]
+            else:
+                self.state = _decode_chunk(
+                    self.model, self.variables, self.state, self.gen_cfg,
+                    self.vocab, self.chunk_steps, self._s_max)
             self._chunks += 1
         self._harvest()
         return len(self._results)

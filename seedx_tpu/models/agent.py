@@ -158,12 +158,13 @@ class ContinuousLVLM(nn.Module):
         return self.llm.embed(input_ids)
 
     def llm_step(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0, block_tables=None):
+                 cache_index=0, block_tables=None, write_widths=None):
         """One llm forward (prefill or decode step); returns
         (logits, hidden, new_cache).  ``block_tables`` selects the paged-KV
-        decode path (see LlamaForCausalLM.__call__)."""
+        decode path; ``write_widths`` the fused ragged prefill+decode step
+        (see LlamaForCausalLM.__call__)."""
         return self.llm(inputs_embeds, positions, kv_valid, cache,
-                        cache_index, block_tables)
+                        cache_index, block_tables, write_widths)
 
     def decode_image_feats(self, hidden_states):
         """Output-resampler pass over generated hidden spans

@@ -1,4 +1,4 @@
-"""Single-token decode layer loop over scan-stacked int4 weights.
+"""Decode layer loop over scan-stacked int4 weights (seq==1 and fused).
 
 Why this exists: ``LlamaModel`` runs its blocks under ``nn.scan``, which
 dynamic-slices each layer's parameters out of the stacked arrays per
@@ -16,10 +16,23 @@ pipeline's DMAs straight at layer ``li`` of the stacked array — the packed
 bytes stream HBM->VMEM exactly once, no intermediate copy (measured 1.5x
 on the full 13B layer loop, scratch/stacked_micro.py).
 
-Semantics mirror ``models/llama.LlamaBlock`` for the seq==1 cached path
-exactly (store-then-attend, int8 or bf16 KV cache, scalar or per-row cache
-offsets, optional LoRA deltas); ``tests/test_quantize.py`` pins parity
-against the nn.scan path.  Prefill and training keep the flax path.
+Two step shapes share the loop:
+
+  * seq == 1 — the classic serving decode step (store-then-attend, int8 or
+    bf16 KV cache, scalar or per-row cache offsets, optional LoRA deltas,
+    ragged or XLA attention, optional paged block tables).
+  * seq == w > 1 with ``write_widths`` — the FUSED prefill+decode step of
+    the continuous engine (inference/continuous.py): row b's window slots
+    [0, write_widths[b]) are real tokens (decoding rows use 1, prefilling
+    rows up to w) written at [cache_index[b], ...); garbage slots scatter
+    out of bounds (dropped).  Decode is weight-stream bound, so the extra
+    window rows ride the same int4 stream — prompt prefill becomes nearly
+    free instead of stalling every live slot for a full prompt-bucket
+    forward (Sarathi-style chunked prefill).  Attention for the fused step
+    is per-row-causal over the dense cache (XLA path).
+
+``tests/test_quantize.py`` pins parity against the nn.scan path; prefill
+and training keep the flax path.
 
 Reference parity context: the reference serves fp16 with HF generate
 (src/inference/eval_img2text_seed_x_i.py:61) — this whole quantized decode
@@ -49,16 +62,18 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
                           cos: jnp.ndarray, sin: jnp.ndarray,
                           kv_valid, cache: Tuple[jnp.ndarray, ...],
                           cache_index, *, block_tables=None,
+                          write_widths=None,
                           interpret: bool = False
                           ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
-    """Run all decoder layers for ONE token against stacked quantized params.
+    """Run all decoder layers for one step against stacked quantized params.
 
     Args:
       cfg: LlamaConfig (quantization == "int4").
       layer_params: the ``params["layers"]["layer"]`` subtree — every leaf
         scan-stacked with a leading ``num_layers`` axis.
-      x: [batch, 1, hidden] embeddings.
-      cos/sin: rope tables [batch, 1, head_dim].
+      x: [batch, s, hidden] embeddings (s == 1, or s == w for the fused
+        prefill+decode step with ``write_widths``).
+      cos/sin: rope tables [batch, s, head_dim].
       kv_valid: [batch, kv_len] bool or None.
       cache: stacked KV cache ([L, b, max_len, f] x2, + scales x2 if int8);
         with ``block_tables`` a shared PAGED pool ([L, pool_rows, f] x2,
@@ -69,19 +84,28 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
         lives at pool tile ``block_tables[b, j]`` (tile size =
         kv_len // n_tiles).  Paged rows require per-row offsets + ragged
         attention (vLLM-style serving; no reference counterpart).
+      write_widths: [batch] int32 — fused step (see module docstring).
     Returns:
-      (hidden [batch, 1, hidden], new cache) — same contract as the scan.
+      (hidden [batch, s, hidden], new cache) — same contract as the scan.
     """
     b, s, hidden = x.shape
-    assert s == 1, "stacked decode is the seq==1 serving path"
+    mixed = s > 1
+    if mixed:
+        assert write_widths is not None, \
+            "stacked decode with seq > 1 is the fused step (write_widths)"
+        assert getattr(cache_index, "ndim", 0) == 1, \
+            "fused step requires per-row cache offsets"
     nh, hd = cfg.num_kv_heads, cfg.head_dim
     per_row = getattr(cache_index, "ndim", 0) == 1
     int8_kv = len(cache) == 4
     paged = block_tables is not None
+    rows_i = jnp.arange(b)
 
     # Ragged attention: stream only [start, end) KV rows per slot (the XLA
     # path below reads the full max_len cache every step — at 8 slots x
     # 1280 positions that read rivals the int4 weight stream itself).
+    # Mixed (fused prefill+decode) steps use the kernel's MULTI-QUERY
+    # window mode: the q window rides the same per-row DMA'd KV stream.
     if paged:
         assert per_row and kv_valid is not None, \
             "paged KV requires per-row offsets + kv windows"
@@ -109,11 +133,27 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             and blk >= 8
             and (cfg.decode_attention == "force"
                  or (jax.default_backend() == "tpu" and b >= 2
+                     and not mixed
                      and f_flat % 128 == 0 and blk % granule == 0)))
+        # mixed + auto -> XLA: the kernel's multi-query window mode is
+        # correct but its segmented-matmul score op (a [cc,F]@[F,128] MXU
+        # dot per window row) multiplies the single-query design's dense-
+        # selector FLOP overhead by w — measured on-chip it sank fused
+        # serving to 71.9 tok/s vs 261.9 legacy, while the XLA path (full
+        # cache read, per-row causal bias) measured within ~5% of ragged
+        # at serving cache sizes (r3: 247.6 vs 261.7).  Paged pools have
+        # no XLA path (block-table gather), so paged fused keeps the
+        # kernel; "force" keeps it for parity tests.
     if use_ragged:
         m32 = kv_valid.astype(jnp.int32)
         starts = jnp.argmax(m32, axis=-1).astype(jnp.int32)
         ends = starts + jnp.sum(m32, axis=-1)
+        if mixed:
+            # multi-query stair contract (ops/decode_attention.py): query
+            # slot i attends [start, ends+i); the engine's kv_valid covers
+            # [start, pos + width), so the base end (slot 0) is that end
+            # minus (width - 1)
+            ends = ends - jnp.maximum(write_widths - 1, 0)
 
     def proj(name: str, h2: jnp.ndarray, li: jnp.ndarray) -> jnp.ndarray:
         p = layer_params[name]
@@ -129,34 +169,53 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             y = y + lscale * ((h2.astype(cfg.dtype) @ a) @ bm)
         return y
 
-    if paged:
+    if mixed:
+        widx = cache_index[:, None] + jnp.arange(s)[None, :]     # [b, s]
+        slot_ok = jnp.arange(s)[None, :] < write_widths[:, None]
+        if paged:
+            # resolve window positions through the block table; garbage
+            # slots (and stair positions past the table) drop out of bounds
+            col = widx // page
+            in_range = slot_ok & (col < n_tiles)
+            tiles = block_tables[rows_i[:, None],
+                                 jnp.minimum(col, n_tiles - 1)]
+            widx = jnp.where(in_range, tiles * page + widx % page,
+                             cache[0].shape[1])      # pool rows -> OOB drop
+        else:
+            widx = jnp.where(slot_ok, widx,
+                             cache[0].shape[2])      # garbage -> OOB drop
+    elif paged:
         # physical pool row of each slot's current write position
-        pool_rows = (block_tables[jnp.arange(b), cache_index // page] * page
+        pool_rows = (block_tables[rows_i, cache_index // page] * page
                      + cache_index % page)                       # [b]
 
     def store(buf: jnp.ndarray, val: jnp.ndarray, li: jnp.ndarray
               ) -> jnp.ndarray:
-        """Write val [b, f] into stacked buf [L, b, max_len, f] at
-        (li, :, cache_index) — or into the paged pool [L, pool_rows, f] at
-        each slot's block-table-resolved physical row."""
+        """Write val [b, s, f] into stacked buf [L, b, max_len, f] at
+        (li, :, cache_index..) — or into the paged pool [L, pool_rows, f]
+        at each slot's block-table-resolved physical row."""
+        if mixed and paged:
+            return buf.at[li, widx].set(val.astype(buf.dtype), mode="drop")
+        if mixed:
+            return buf.at[li, rows_i[:, None], widx].set(
+                val.astype(buf.dtype), mode="drop")
         if paged:
-            return buf.at[li, pool_rows].set(val.astype(buf.dtype))
+            return buf.at[li, pool_rows].set(val[:, 0].astype(buf.dtype))
         if per_row:
-            return buf.at[li, jnp.arange(b), cache_index].set(
-                val.astype(buf.dtype))
+            return buf.at[li, rows_i, cache_index].set(
+                val[:, 0].astype(buf.dtype))
         return jax.lax.dynamic_update_slice(
-            buf, val[None, :, None].astype(buf.dtype),
-            (li, 0, cache_index, 0))
+            buf, val[None].astype(buf.dtype), (li, 0, cache_index, 0))
 
     def body(li, carry):
-        x2, cache = carry
+        x2, cache = carry                    # x2 [b*s, hidden]
         ln1 = _index(layer_params["input_layernorm"]["scale"], li)
         h = rms_norm(x2.astype(cfg.dtype), ln1.astype(cfg.dtype),
                      cfg.rms_eps)
 
-        q = proj("q_proj", h, li).reshape(b, 1, cfg.num_heads, hd)
-        k = proj("k_proj", h, li).reshape(b, 1, nh, hd)
-        v = proj("v_proj", h, li).reshape(b, 1, nh, hd)
+        q = proj("q_proj", h, li).reshape(b, s, cfg.num_heads, hd)
+        k = proj("k_proj", h, li).reshape(b, s, nh, hd)
+        v = proj("v_proj", h, li).reshape(b, s, nh, hd)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -167,22 +226,23 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             sw = ks.shape[-1]              # lane-padded (kv_scale_width)
             kq, ksc = quantize_kv(k)
             vq, vsc = quantize_kv(v)
-            ck = store(ck, kq.reshape(b, nh * hd), li)
-            cv = store(cv, vq.reshape(b, nh * hd), li)
-            ks = store(ks, jnp.pad(ksc.reshape(b, nh).astype(ks.dtype),
-                                   ((0, 0), (0, sw - nh))), li)
-            vs = store(vs, jnp.pad(vsc.reshape(b, nh).astype(vs.dtype),
-                                   ((0, 0), (0, sw - nh))), li)
+            ck = store(ck, kq.reshape(b, s, nh * hd), li)
+            cv = store(cv, vq.reshape(b, s, nh * hd), li)
+            ks = store(ks, jnp.pad(ksc.reshape(b, s, nh).astype(ks.dtype),
+                                   ((0, 0), (0, 0), (0, sw - nh))), li)
+            vs = store(vs, jnp.pad(vsc.reshape(b, s, nh).astype(vs.dtype),
+                                   ((0, 0), (0, 0), (0, sw - nh))), li)
             cache = (ck, cv, ks, vs)
             if use_ragged:
                 # the standing stacked buffers go to the kernel whole (a
                 # sliced pallas operand would copy the layer to HBM first);
                 # HBM reads stay int8 + tiny scales, window-bounded
                 attn = ragged_decode_attention(
-                    q[:, 0], ck, cv, starts, ends, k_scale=ks, v_scale=vs,
+                    q if mixed else q[:, 0], ck, cv, starts, ends,
+                    k_scale=ks, v_scale=vs,
                     block_tables=block_tables, layer=li, kv_heads=nh,
                     block=page if paged else 0, interpret=interpret)
-                attn = attn.reshape(b, cfg.num_heads * hd)
+                attn = attn.reshape(b * s, cfg.num_heads * hd)
             else:
                 ckl = (_index(ck, li).reshape(b, max_len, nh, hd
                                               ).astype(cfg.dtype)
@@ -192,23 +252,27 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
                        * _index(vs, li)[..., :nh, None].astype(cfg.dtype))
         else:
             ck, cv = cache
-            ck = store(ck, k.reshape(b, nh * hd), li)
-            cv = store(cv, v.reshape(b, nh * hd), li)
+            ck = store(ck, k.reshape(b, s, nh * hd), li)
+            cv = store(cv, v.reshape(b, s, nh * hd), li)
             cache = (ck, cv)
             if use_ragged:
                 attn = ragged_decode_attention(
-                    q[:, 0], ck, cv, starts, ends,
+                    q if mixed else q[:, 0], ck, cv, starts, ends,
                     block_tables=block_tables, layer=li, kv_heads=nh,
                     block=page if paged else 0, interpret=interpret)
-                attn = attn.reshape(b, cfg.num_heads * hd)
+                attn = attn.reshape(b * s, cfg.num_heads * hd)
             else:
                 ckl = _index(ck, li).reshape(b, max_len, nh, hd)
                 cvl = _index(cv, li).reshape(b, max_len, nh, hd)
 
         if not use_ragged:
-            attn = dot_product_attention(q, ckl, cvl, kv_valid=kv_valid,
-                                         causal=False, impl="xla")
-            attn = attn.reshape(b, cfg.num_heads * hd)
+            # mixed: per-row causal — query i of row b sees absolute
+            # positions <= cache_index[b] + i (everything this request has
+            # written; stale rows beyond are masked by causality)
+            attn = dot_product_attention(
+                q, ckl, cvl, kv_valid=kv_valid, causal=mixed,
+                q_offset=cache_index if mixed else None, impl="xla")
+            attn = attn.reshape(b * s, cfg.num_heads * hd)
         x2 = x2 + proj("o_proj", attn, li).astype(x2.dtype)
 
         ln2 = _index(layer_params["post_attention_layernorm"]["scale"], li)
@@ -219,6 +283,6 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
         return x2 + down.astype(x2.dtype), cache
 
     x2, cache = jax.lax.fori_loop(0, cfg.num_layers, body,
-                                  (x.reshape(b, hidden).astype(cfg.dtype),
+                                  (x.reshape(b * s, hidden).astype(cfg.dtype),
                                    cache))
-    return x2.reshape(b, 1, hidden), cache
+    return x2.reshape(b, s, hidden), cache

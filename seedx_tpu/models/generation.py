@@ -55,6 +55,26 @@ class GenerationConfig:
     # 0 disables.  (The reference's HF loop has no analogue.)
     spec_k: int = 0
     spec_ngram: int = 3
+    # Adaptive gating (r3 honest accounting: a spec round costs ~1.8x a
+    # plain step on chip — 45.6 rounds/s vs 82.1 steps/s at B=1 int4 — so
+    # breakeven needs E[accepted] >= 0.8/round, which adversarial text does
+    # NOT clear).  With spec_adaptive the engine runs a WINDOWED gate with
+    # periodic RE-PROBING (policy selected by simulation over realistic
+    # transcripts, scratch/spec_acceptance_study.py): speculate while the
+    # acceptance rate over the last spec_window rounds clears
+    # spec_min_accept; when a window (>= spec_probe_rounds rounds) falls
+    # below the bar, fall back to plain decode for spec_reprobe steps,
+    # then probe again — late-onset echo (doc-QA answers that start novel
+    # and then quote the prompt) is recaptured, and the worst-case
+    # overhead is bounded to spec_probe_rounds spec rounds per
+    # spec_reprobe plain steps (~5% on never-repeating text).  Counters
+    # (spec_rounds, spec_accepted) ride the result dict for session-level
+    # policy.
+    spec_adaptive: bool = True
+    spec_probe_rounds: int = 4
+    spec_min_accept: float = 0.8
+    spec_reprobe: int = 48
+    spec_window: int = 32
 
 
 def constrain_image_tokens(prev_token: jnp.ndarray, logits: jnp.ndarray,
@@ -119,6 +139,40 @@ def _ngram_draft(hist, m, token0, k: int, ngram: int = 3):
     start = jnp.clip(j + 1, 0, hist.shape[0] - k)
     drafts = jax.lax.dynamic_slice(hist, (start,), (k,))
     return jnp.where(j >= 0, drafts, -1)
+
+
+def _spec_gate_update(sp, a, gen_cfg: GenerationConfig):
+    """One speculative round's bookkeeping for the windowed re-probing
+    acceptance gate (GenerationConfig.spec_adaptive; policy selected by
+    transcript simulation, scratch/spec_acceptance_study.py).
+
+    sp = (rounds, accepted, rounds_w, acc_w, cooldown, spec_on); ``a`` is
+    this round's accepted-draft count.  A window of >= spec_probe_rounds
+    rounds whose acceptance rate misses spec_min_accept gates speculation
+    OFF and arms a spec_reprobe-step cooldown; windows that clear the bar
+    roll every spec_window rounds so the decision tracks RECENT text."""
+    rounds, accepted, rounds_w, acc_w, cooldown, spec_on = sp
+    rounds, accepted = rounds + 1, accepted + a
+    rounds_w, acc_w = rounds_w + 1, acc_w + a
+    if not gen_cfg.spec_adaptive:
+        return (rounds, accepted, rounds_w, acc_w, cooldown, spec_on)
+    fail = ((rounds_w >= gen_cfg.spec_probe_rounds)
+            & (acc_w.astype(jnp.float32)
+               < gen_cfg.spec_min_accept * rounds_w.astype(jnp.float32)))
+    reset = fail | (rounds_w >= gen_cfg.spec_window)
+    z = jnp.int32(0)
+    return (rounds, accepted, jnp.where(reset, z, rounds_w),
+            jnp.where(reset, z, acc_w),
+            jnp.where(fail, jnp.int32(gen_cfg.spec_reprobe), cooldown),
+            spec_on & ~fail)
+
+
+def _spec_cooldown_tick(sp):
+    """One plain fallback step while gated off: count down to re-probe."""
+    rounds, accepted, rounds_w, acc_w, cooldown, spec_on = sp
+    cooldown = cooldown - 1
+    return (rounds, accepted, rounds_w, acc_w, cooldown,
+            spec_on | (cooldown <= 0))
 
 
 def _sample(logits, rng, cfg: GenerationConfig):
@@ -232,7 +286,10 @@ def generate_tokens(
 
     def single_step(state):
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, hist, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state[:12]
+        # plain step while the adaptive gate is off: tick the re-probe
+        # cooldown (no-op sp passthrough when spec is disabled entirely)
+        sp = _spec_cooldown_tick(state[12]) if spec_k else state[12]
         rng, sub = jax.random.split(rng)
         constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
                                              n_img)
@@ -255,11 +312,12 @@ def generate_tokens(
             p + n, method="llm_step")
         return (cache, logits[:, 0].astype(jnp.float32), hidden[:, 0], pos,
                 token, new_finished, rng, out_tokens, out_hidden,
-                out_finished, hist, n + 1)
+                out_finished, hist, n + 1, sp)
 
     def chunk_step(state):
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, hist, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state[:12]
+        sp = state[12]
         c = n_img + 1
         ids = jnp.broadcast_to(forced_ids[None, :], (b, c))
         embeds = model.apply(variables, ids, method="embed_ids")
@@ -280,7 +338,7 @@ def generate_tokens(
             hist = jax.lax.dynamic_update_slice(hist, ids[0], (p + n,))
         return (cache, logits[:, -1].astype(jnp.float32), hidden[:, -1],
                 prev_pos + c, jnp.full((b,), vocab.eoi, jnp.int32), finished,
-                rng, out_tokens, out_hidden, out_finished, hist, n + c)
+                rng, out_tokens, out_hidden, out_finished, hist, n + c, sp)
 
     def spec_step(state):
         """One speculative round (greedy, B=1): decide the exact next token
@@ -290,7 +348,8 @@ def generate_tokens(
         logits seed the next round, so no token is ever emitted from an
         unverified distribution."""
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, hist, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state[:12]
+        sp = state[12]
         k = spec_k
         constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
                                              n_img)
@@ -333,29 +392,45 @@ def generate_tokens(
         new_hidden = jax.lax.dynamic_index_in_dim(
             hidden_v[0], a, 0, keepdims=False)[None]
         new_finished = finished | (last_tok == gen_cfg.eos_token_id)
+        rounds = rounds + 1
+        accepted = accepted + a
+        # adaptive gate: probe freely, then keep speculating only while the
+        # measured accept rate clears breakeven (bounded worst case)
+        if gen_cfg.spec_adaptive:
+            spec_on = ((rounds < gen_cfg.spec_probe_rounds)
+                       | (accepted.astype(jnp.float32)
+                          >= gen_cfg.spec_min_accept
+                          * rounds.astype(jnp.float32)))
         return (cache, new_logits, new_hidden, prev_pos + e_count,
                 last_tok.reshape(1), new_finished, rng, out_tokens,
-                out_hidden, out_finished, hist, n + e_count)
+                out_hidden, out_finished, hist, n + e_count,
+                (rounds, accepted, spec_on))
 
-    inner_step = spec_step if spec_k else single_step
+    if spec_k and gen_cfg.spec_adaptive:
+        def inner_step(state):
+            return jax.lax.cond(state[12][5], spec_step, single_step, state)
+    else:
+        inner_step = spec_step if spec_k else single_step
 
     def body(state):
         if not enable_chunk:
             return inner_step(state)
-        prev_token, finished, n = state[4], state[5], state[-1]
+        prev_token, finished, n = state[4], state[5], state[11]
         do_chunk = (jnp.all((prev_token == vocab.boi) & ~finished)
                     & (n + n_img + 1 <= t))
         return jax.lax.cond(do_chunk, chunk_step, inner_step, state)
 
     def cond(state):
-        finished, n = state[5], state[-1]
+        finished, n = state[5], state[11]
         return (n < t) & ~jnp.all(finished)
 
     state = (cache, last_logits, last_hidden, last_pos,
              last_prompt_token.astype(jnp.int32), jnp.zeros((b,), bool), rng,
-             out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0))
+             out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0),
+             ((jnp.int32(0),) * 5 + (jnp.bool_(True),)))
     state = jax.lax.while_loop(cond, body, state)
-    return {"tokens": state[7], "hidden": state[8], "finished": state[9]}
+    return {"tokens": state[7], "hidden": state[8], "finished": state[9],
+            "spec_rounds": state[12][0], "spec_accepted": state[12][1]}
 
 
 @functools.partial(
@@ -436,7 +511,10 @@ def generate_tokens_cached(
 
     def single_step(state):
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, hist, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state[:12]
+        # plain step while the adaptive gate is off: tick the re-probe
+        # cooldown (no-op sp passthrough when spec is disabled entirely)
+        sp = _spec_cooldown_tick(state[12]) if spec_k else state[12]
         rng, sub = jax.random.split(rng)
         constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
                                              n_img)
@@ -457,11 +535,12 @@ def generate_tokens_cached(
             p_total + n, method="llm_step")
         return (cache, logits[:, 0].astype(jnp.float32), hidden[:, 0], pos,
                 token, new_finished, rng, out_tokens, out_hidden,
-                out_finished, hist, n + 1)
+                out_finished, hist, n + 1, sp)
 
     def chunk_step(state):
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, hist, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state[:12]
+        sp = state[12]
         ck = n_img + 1
         ids = forced_ids[None, :]
         embeds = model.apply(variables, ids, method="embed_ids")
@@ -482,7 +561,7 @@ def generate_tokens_cached(
                                                 (p_total + n,))
         return (cache, logits[:, -1].astype(jnp.float32), hidden[:, -1],
                 prev_pos + ck, jnp.full((1,), vocab.eoi, jnp.int32), finished,
-                rng, out_tokens, out_hidden, out_finished, hist, n + ck)
+                rng, out_tokens, out_hidden, out_finished, hist, n + ck, sp)
 
     def spec_step(state):
         """Speculative round — same accept/emit logic as the spec_step in
@@ -490,7 +569,8 @@ def generate_tokens_cached(
         with absolute cache positions; the caller guaranteed spec_k rows of
         cache headroom past p_total + t."""
         (cache, prev_logits, prev_hidden, prev_pos, prev_token, finished,
-         rng, out_tokens, out_hidden, out_finished, hist, n) = state
+         rng, out_tokens, out_hidden, out_finished, hist, n) = state[:12]
+        sp = state[12]
         k = spec_k
         constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
                                              n_img)
@@ -532,29 +612,36 @@ def generate_tokens_cached(
         new_finished = finished | (last_tok == gen_cfg.eos_token_id)
         return (cache, new_logits, new_hidden, prev_pos + e_count,
                 last_tok.reshape(1), new_finished, rng, out_tokens,
-                out_hidden, out_finished, hist, n + e_count)
+                out_hidden, out_finished, hist, n + e_count,
+                _spec_gate_update(sp, a, gen_cfg))
 
-    inner_step = spec_step if spec_k else single_step
+    if spec_k and gen_cfg.spec_adaptive:
+        def inner_step(state):
+            return jax.lax.cond(state[12][5], spec_step, single_step, state)
+    else:
+        inner_step = spec_step if spec_k else single_step
 
     def body(state):
         if not enable_chunk:
             return inner_step(state)
-        prev_token, finished, n = state[4], state[5], state[-1]
+        prev_token, finished, n = state[4], state[5], state[11]
         do_chunk = (jnp.all((prev_token == vocab.boi) & ~finished)
                     & (n + n_img + 1 <= t))
         return jax.lax.cond(do_chunk, chunk_step, inner_step, state)
 
     def cond(state):
-        finished, n = state[5], state[-1]
+        finished, n = state[5], state[11]
         return (n < t) & ~jnp.all(finished)
 
     state = (cache, last_logits, last_hidden, last_pos,
              last_prompt_token.reshape(1).astype(jnp.int32),
              jnp.zeros((1,), bool), rng,
-             out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0))
+             out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0),
+             ((jnp.int32(0),) * 5 + (jnp.bool_(True),)))
     state = jax.lax.while_loop(cond, body, state)
-    return ({"tokens": state[7], "hidden": state[8], "finished": state[9]},
-            state[0], p_total + state[-1])
+    return ({"tokens": state[7], "hidden": state[8], "finished": state[9],
+             "spec_rounds": state[12][0], "spec_accepted": state[12][1]},
+            state[0], p_total + state[11])
 
 
 @functools.partial(jax.jit, static_argnames=("model", "gen_cfg", "vocab"))
@@ -837,6 +924,12 @@ def generate_batch(
             consumed += len(eoi_indices)
         results.append(build_result(tokens, eoi_indices, img_gen_feat,
                                     tokenizer, vocab, n_img))
+    if gen_cfg.num_beams <= 1 and "spec_rounds" in out:
+        # speculative-decoding observability (B=1 feature; counters are
+        # engine-global): lets sessions apply acceptance-based policy
+        for r in results:
+            r["spec_rounds"] = int(out["spec_rounds"])
+            r["spec_accepted"] = int(out["spec_accepted"])
     return results
 
 

@@ -174,7 +174,8 @@ class LlamaBlock(nn.Module):
     cfg: LlamaConfig
 
     @nn.compact
-    def __call__(self, x, layer_cache, cos, sin, kv_valid, cache_index):
+    def __call__(self, x, layer_cache, cos, sin, kv_valid, cache_index,
+                 write_widths=None):
         """One decoder layer.
 
         Args:
@@ -185,7 +186,13 @@ class LlamaBlock(nn.Module):
           cache_index: scalar write offset into the cache (0 for no-cache),
             or a [batch] int32 vector for per-row offsets — the continuous
             batching decode path, where every slot sits at its own depth
-            (requires seq == 1; the batched-scatter write).
+            (requires seq == 1 unless ``write_widths`` is given).
+          write_widths: [batch] int32 or None — the fused prefill+decode
+            step (inference/continuous.py): row b's window slots
+            [0, write_widths[b]) hold real tokens written to the cache at
+            [cache_index[b], cache_index[b]+width); slots past the width
+            are garbage whose KV writes are DROPPED (out-of-bounds scatter)
+            and whose outputs the caller discards.
         """
         cfg = self.cfg
         b, s, _ = x.shape
@@ -214,12 +221,24 @@ class LlamaBlock(nn.Module):
         if layer_cache is not None:
             nh, hd = cfg.num_kv_heads, cfg.head_dim
             per_row = getattr(cache_index, "ndim", 0) == 1
-            if per_row and s != 1:
-                raise ValueError("per-row cache_index requires seq == 1")
+            if per_row and s != 1 and write_widths is None:
+                raise ValueError("per-row cache_index requires seq == 1 "
+                                 "(or write_widths for the fused step)")
             at = (0, cache_index, 0)
 
             def _store(buf, val):
                 """Write val [b, s, f] at the cache offset(s)."""
+                if per_row and write_widths is not None:
+                    # ragged window write: row b's slots [0, width_b) land
+                    # at [off_b, off_b+width_b); garbage slots scatter OUT
+                    # OF BOUNDS and are dropped — no clamp collisions with
+                    # real writes at the cache tail
+                    idx = cache_index[:, None] + jnp.arange(s)[None, :]
+                    idx = jnp.where(
+                        jnp.arange(s)[None, :] < write_widths[:, None],
+                        idx, buf.shape[1])
+                    return buf.at[jnp.arange(b)[:, None], idx].set(
+                        val, mode="drop")
                 if per_row:
                     return buf.at[jnp.arange(b), cache_index].set(val[:, 0])
                 return jax.lax.dynamic_update_slice(buf, val, at)
@@ -257,7 +276,7 @@ class LlamaBlock(nn.Module):
             attn = dot_product_attention(
                 q, ck, cv, kv_valid=kv_valid, causal=s > 1,
                 q_offset=cache_index if s > 1 else None,
-                impl="xla" if s == 1 else cfg.attention_impl)
+                impl="xla" if (s == 1 or per_row) else cfg.attention_impl)
         else:
             attn = dot_product_attention(
                 q, k, v, kv_valid=kv_valid, causal=True,
@@ -284,10 +303,10 @@ class _ScannedBlock(nn.Module):
 
     @nn.compact
     def __call__(self, carry, layer_cache):
-        x, cos, sin, kv_valid, cache_index = carry
+        x, cos, sin, kv_valid, cache_index, write_widths = carry
         x, new_cache = LlamaBlock(self.cfg, name="layer")(
-            x, layer_cache, cos, sin, kv_valid, cache_index)
-        return (x, cos, sin, kv_valid, cache_index), new_cache
+            x, layer_cache, cos, sin, kv_valid, cache_index, write_widths)
+        return (x, cos, sin, kv_valid, cache_index, write_widths), new_cache
 
 
 class Embedder(nn.Module):
@@ -330,15 +349,17 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0, block_tables=None):
-        """Returns (hidden_states, new_cache)."""
+                 cache_index=0, block_tables=None, write_widths=None):
+        """Returns (hidden_states, new_cache).  ``write_widths`` enables the
+        fused ragged prefill+decode step (see LlamaBlock)."""
         cfg = self.cfg
         x = inputs_embeds.astype(cfg.dtype)
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
 
         use_stacked = (
             cfg.scan_layers and cfg.quantization == "int4"
-            and cache is not None and x.shape[1] == 1
+            and cache is not None
+            and (x.shape[1] == 1 or write_widths is not None)
             and cfg.stacked_decode != "never"
             and not self.is_initializing()
             and (cfg.stacked_decode == "force"
@@ -355,7 +376,7 @@ class LlamaModel(nn.Module):
             x, new_cache = decode_layers_stacked(
                 cfg, layer_params, x, cos, sin, kv_valid, cache,
                 jnp.asarray(cache_index, jnp.int32),
-                block_tables=block_tables,
+                block_tables=block_tables, write_widths=write_widths,
                 interpret=jax.default_backend() != "tpu")
         elif cfg.scan_layers:
             block = _ScannedBlock
@@ -363,7 +384,8 @@ class LlamaModel(nn.Module):
             # (and int8 leaves break remat's jvp tracing inside scan).
             if cfg.remat and cfg.quantization == "none":
                 block = nn.remat(block, prevent_cse=False)
-            carry = (x, cos, sin, kv_valid, jnp.asarray(cache_index, jnp.int32))
+            carry = (x, cos, sin, kv_valid,
+                     jnp.asarray(cache_index, jnp.int32), write_widths)
             carry, new_cache = nn.scan(
                 block,
                 variable_axes={"params": 0},
@@ -380,7 +402,8 @@ class LlamaModel(nn.Module):
                 layer_cache = None if cache is None else jax.tree.map(
                     lambda c: c[i], cache)
                 x, nc = LlamaBlock(cfg, name=f"layer_{i}")(
-                    x, layer_cache, cos, sin, kv_valid, cache_index)
+                    x, layer_cache, cos, sin, kv_valid, cache_index,
+                    write_widths)
                 new_layers.append(nc)
             new_cache = None if cache is None else jax.tree.map(
                 lambda *cs: jnp.stack(cs), *new_layers)
@@ -416,16 +439,19 @@ class LlamaForCausalLM(nn.Module):
         return self(self.embed(input_ids), positions, kv_valid)
 
     def __call__(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0, block_tables=None):
+                 cache_index=0, block_tables=None, write_widths=None):
         """Returns (logits, last_hidden_state, new_cache).
 
         block_tables: [batch, n_tiles] int32 — the cache is a shared PAGED
         pool ([L, pool_rows, f] leaves) and row b's logical KV tile j lives
         at pool tile ``block_tables[b, j]``; requires the stacked int4
-        decode path + ragged attention (paged continuous serving)."""
+        decode path + ragged attention (paged continuous serving).
+        write_widths: [batch] int32 — fused ragged prefill+decode step
+        (see LlamaBlock)."""
         hidden, new_cache = self.model(
             inputs_embeds, positions, kv_valid=kv_valid, cache=cache,
-            cache_index=cache_index, block_tables=block_tables)
+            cache_index=cache_index, block_tables=block_tables,
+            write_widths=write_widths)
         logits = self.lm_head(hidden)
         if self.cfg.padded_vocab_size != self.cfg.vocab_size:
             # vocab-padded TP layout: pad columns can never win argmax or

@@ -39,16 +39,26 @@ def make_attention_bias(
       causal: apply causal structure; query row i sits at kv position
         ``q_offset + i``.  Default offset aligns q to the kv tail (standard
         decode alignment); pass ``q_offset=cache_index`` when prefilling into
-        a larger preallocated cache.
+        a larger preallocated cache.  ``q_offset`` may be a [batch] vector —
+        the continuous engine's fused prefill+decode step, where every slot
+        writes its window at its own cache depth.
     """
     bias = None
     if causal:
         if q_offset is None:
             q_offset = kv_len - q_len
-        q_pos = jnp.arange(q_len)[:, None] + q_offset
         k_pos = jnp.arange(kv_len)[None, :]
-        causal_mask = q_pos >= k_pos  # [q, kv]
-        bias = jnp.where(causal_mask, 0.0, NEG_INF)[None, None].astype(dtype)
+        if getattr(q_offset, "ndim", 0) == 1:      # per-row offsets [batch]
+            q_pos = (jnp.arange(q_len)[None, :]
+                     + q_offset[:, None])                   # [batch, q]
+            causal_mask = q_pos[:, :, None] >= k_pos[None]  # [batch, q, kv]
+            bias = jnp.where(causal_mask, 0.0,
+                             NEG_INF)[:, None].astype(dtype)
+        else:
+            q_pos = jnp.arange(q_len)[:, None] + q_offset
+            causal_mask = q_pos >= k_pos  # [q, kv]
+            bias = jnp.where(causal_mask, 0.0,
+                             NEG_INF)[None, None].astype(dtype)
     if kv_valid is not None:
         pad = jnp.where(kv_valid[:, None, None, :], 0.0, NEG_INF).astype(dtype)
         bias = pad if bias is None else bias + pad
@@ -114,6 +124,9 @@ def dot_product_attention(
             and jax.default_backend() == "tpu"
             and q_len >= 128
             and (q_len == kv_len or q_offset is not None)
+            # the flash kernel takes one scalar q_offset; per-row offset
+            # vectors (the fused prefill+decode step) stay on the xla path
+            and getattr(q_offset, "ndim", 0) == 0
         )
     if use_flash:
         from seedx_tpu.ops.flash_attention import flash_attention

@@ -106,12 +106,25 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
                    k_buf, v_buf, ks_buf, vs_buf, sems, *,
                    scale: float, block: int, kv_heads: int, head_dim: int,
                    hkv_pad: int, q_groups: int, paged: bool, int8: bool,
-                   stacked: bool):
+                   stacked: bool, q_len: int = 1, s_limit: int = 0):
+    """q_len > 1 = the MULTI-QUERY window mode (fused prefill+decode,
+    inference/continuous.py): query slot i of row b sits at absolute
+    position ends[b]-1+i and attends [starts[b], ends[b]+i) — a causal
+    stair within the window.  Slots past the row's valid width read
+    whatever the window allows and are discarded by the caller; per-query
+    ends clamp to ``s_limit`` so the tile loop (and paged block-table
+    lookups) never run past the logical cache."""
     b = pl.program_id(0)
     start = starts_ref[b]
     end = ends_ref[b]
+    if q_len > 1:
+        end_last = end + (q_len - 1)
+        if s_limit:
+            end_last = jnp.minimum(end_last, s_limit)
+    else:
+        end_last = end
     j0 = start // block
-    j1 = pl.cdiv(end, block)
+    j1 = pl.cdiv(end_last, block)
     f = kv_heads * head_dim
 
     def row_of(j):
@@ -193,6 +206,30 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
 
+    q_rows = q_len * q_groups
+
+    def flash_update(m, l, acc, kc, vc, ksc, vsc, valid, q_r):
+        """One streaming-softmax update of row state (m, l [1, W];
+        acc [1, F]) against a KV chunk kc/vc [cc, F] (+int8 scales
+        [cc, W]) under mask ``valid`` [cc, W]."""
+        s = seg_dot(kc * q_r, seg)               # [cc, W]
+        if int8:
+            s = s * ksc                          # scales factor out
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
+        # explicit guard: a fully-masked tile keeps m_new == NEG_INF
+        # and exp(NEG_INF - NEG_INF) would be 1 — zero it instead
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
+        alpha = jnp.where(m == NEG_INF, 0.0, jnp.exp(m - m_new))
+        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+        if int8:
+            p = p * vsc                          # v scales fold into p
+        # broadcast per-head weights back to lanes, weight v, sum
+        pv = jnp.sum(seg_dot(p, expm) * vc, axis=0, keepdims=True)
+        acc = acc * seg_dot(alpha, expm) + pv    # [1, F]
+        return m_new, l, acc
+
     def body(i, carry):
         ms, ls, accs = carry               # [G, Hkv], [G, Hkv], tuple of [1, F]
         j = j0 + i
@@ -214,49 +251,118 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
 
         pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (block, w), 0)
         head_ok = jax.lax.broadcasted_iota(jnp.int32, (block, w), 1) < kv_heads
-        valid = (pos >= start) & (pos < end) & head_ok   # [block, W]
+        valid = (pos >= start) & head_ok & (pos < end)   # [block, W]
 
         new_ms, new_ls, new_accs = [], [], []
         for g in range(q_groups):
-            m, l, acc = ms[g:g + 1], ls[g:g + 1], accs[g]      # [1, W]
-            s = seg_dot(k * q[g:g + 1], seg)         # [block, W]
-            if int8:
-                s = s * ks                           # scales factor out
-            s = jnp.where(valid, s, NEG_INF)
-
-            m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
-            # explicit guard: a fully-masked tile keeps m_new == NEG_INF
-            # and exp(NEG_INF - NEG_INF) would be 1 — zero it instead
-            p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-            alpha = jnp.where(m == NEG_INF, 0.0, jnp.exp(m - m_new))
-            l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-            if int8:
-                p = p * vs                           # v scales fold into p
-            # broadcast per-head weights back to lanes, weight v, row-sum
-            pv = jnp.sum(seg_dot(p, expm) * v, axis=0, keepdims=True)
-            acc = acc * seg_dot(alpha, expm) + pv    # [1, F]
+            m_new, l, acc = flash_update(
+                ms[g:g + 1], ls[g:g + 1], accs[g], k, v,
+                ks if int8 else None, vs if int8 else None,
+                valid, q[g:g + 1])
             new_ms.append(m_new)
             new_ls.append(l)
             new_accs.append(acc)
         return (jnp.concatenate(new_ms, 0), jnp.concatenate(new_ls, 0),
                 tuple(new_accs))
 
-    init = (jnp.full((q_groups, w), NEG_INF, jnp.float32),
-            jnp.zeros((q_groups, w), jnp.float32),
-            tuple(jnp.zeros((1, f), jnp.float32) for _ in range(q_groups)))
-    ms, ls, accs = jax.lax.fori_loop(0, j1 - j0, body, init)
+    def body_multi(i, carry):
+        """Multi-query tile body.  VMEM discipline (the q_len == 1 body
+        unrolled over window rows blows the ~16 MB scoped budget at 13B
+        geometry — 19.9/24.1 MB measured on-chip): (a) the per-row flash
+        update runs in a fori_loop with matmul one-hot row selection, so
+        ONE set of [cc, F] fp32 temporaries exists regardless of q_len;
+        (b) compute sub-chunks the DMA'd tile at ``cc <= 32`` rows so
+        those temporaries stay ~0.65 MB at F=5120.  Row state lives in
+        stacked carries (ms/ls [R, W], accs [R, F])."""
+        ms, ls, accs = carry
+        j = j0 + i
+        slot = jax.lax.rem(i, 2)
 
-    inv_l = 1.0 / jnp.maximum(ls, 1e-30)             # [G, W]
-    for g in range(q_groups):
-        out = accs[g] * seg_dot(inv_l[g:g + 1], expm)
-        o_ref[0, g] = out[0].astype(o_ref.dtype)
+        @pl.when(j + 1 < j1)
+        def _():
+            start_tile(jax.lax.rem(i + 1, 2), j + 1)
+
+        k_dma(slot, j).wait()
+        v_dma(slot, j).wait()
+        if int8:
+            ks_dma(slot, j).wait()
+            vs_dma(slot, j).wait()
+
+        cc = min(block, 32)
+        for c0 in range(0, block, cc):
+            kc = k_buf[slot, c0:c0 + cc].astype(jnp.float32)   # [cc, F]
+            vc = v_buf[slot, c0:c0 + cc].astype(jnp.float32)
+            ksc = ks_buf[slot, c0:c0 + cc].astype(jnp.float32) if int8 \
+                else None
+            vsc = vs_buf[slot, c0:c0 + cc].astype(jnp.float32) if int8 \
+                else None
+            pos = (j * block + c0
+                   + jax.lax.broadcasted_iota(jnp.int32, (cc, w), 0))
+            head_ok = (jax.lax.broadcasted_iota(jnp.int32, (cc, w), 1)
+                       < kv_heads)
+            base_ok = (pos >= start) & head_ok               # [cc, W]
+
+            def qbody(r, st, base_ok=base_ok, pos=pos, kc=kc, vc=vc,
+                      ksc=ksc, vsc=vsc):
+                ms, ls, accs = st
+                # one-hot row selection via MXU — exact (0/1 weights pick
+                # a single f32 element per output lane), and it avoids
+                # dynamic sublane slicing, which Mosaic restricts
+                onehot = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, q_rows), 1) == r).astype(jnp.float32)
+                sel = lambda mat: jax.lax.dot_general(
+                    onehot, mat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                # multi-query stair: window row r = query slot r//G of
+                # group r%G, attending [start, end + r//G)
+                e_i = end + r // q_groups
+                if s_limit:
+                    e_i = jnp.minimum(e_i, s_limit)
+                valid = base_ok & (pos < e_i)
+                m_new, l, acc = flash_update(
+                    sel(ms), sel(ls), sel(accs), kc, vc, ksc, vsc,
+                    valid, sel(qf))
+                rmask_w = (jax.lax.broadcasted_iota(
+                    jnp.int32, (q_rows, w), 0) == r)
+                rmask_f = (jax.lax.broadcasted_iota(
+                    jnp.int32, (q_rows, f), 0) == r)
+                ms = jnp.where(rmask_w, jnp.broadcast_to(m_new, ms.shape),
+                               ms)
+                ls = jnp.where(rmask_w, jnp.broadcast_to(l, ls.shape), ls)
+                accs = jnp.where(rmask_f, jnp.broadcast_to(acc, accs.shape),
+                                 accs)
+                return ms, ls, accs
+
+            ms, ls, accs = jax.lax.fori_loop(0, q_rows, qbody,
+                                             (ms, ls, accs))
+        return ms, ls, accs
+
+    if q_len == 1:
+        init = (jnp.full((q_rows, w), NEG_INF, jnp.float32),
+                jnp.zeros((q_rows, w), jnp.float32),
+                tuple(jnp.zeros((1, f), jnp.float32) for _ in range(q_rows)))
+        ms, ls, accs = jax.lax.fori_loop(0, j1 - j0, body, init)
+        accs = list(accs)
+    else:
+        qf = q                      # [q_rows, F], pre-scaled fp32
+        init = (jnp.full((q_rows, w), NEG_INF, jnp.float32),
+                jnp.zeros((q_rows, w), jnp.float32),
+                jnp.zeros((q_rows, f), jnp.float32))
+        ms, ls, accs = jax.lax.fori_loop(0, j1 - j0, body_multi, init)
+        accs = [accs[r:r + 1] for r in range(q_rows)]
+
+    inv_l = 1.0 / jnp.maximum(ls, 1e-30)             # [q_rows, W]
+    for r in range(q_rows):
+        out = accs[r] * seg_dot(inv_l[r:r + 1], expm)
+        o_ref[0, r] = out[0].astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block", "kv_heads", "interpret"))
 def ragged_decode_attention(
-    q: jnp.ndarray,                 # [B, Hq, D]
+    q: jnp.ndarray,                 # [B, Hq, D] or [B, w, Hq, D]
     k_cache: jnp.ndarray,           # [B, S, Hkv*D]  (or pool [P*block, Hkv*D])
     v_cache: jnp.ndarray,
     starts: jnp.ndarray,            # [B] int32
@@ -279,8 +385,22 @@ def ragged_decode_attention(
     are the FULL per-layer stack ``[L, B, S, *]`` and this call reads layer
     ``layer`` — pass the standing buffer, never a slice of it (a sliced
     pallas operand materialises an HBM copy of the whole layer).
+
+    MULTI-QUERY window mode (the continuous engine's fused prefill+decode
+    step): ``q`` of shape [B, w, Hq, D] — window query slot i of row b sits
+    at absolute position ``ends[b]-1+i`` and attends ``[starts[b],
+    ends[b]+i)``, the causal stair over tokens the fused step just wrote.
+    Returns [B, w, Hq, D].  Slots past a row's valid width compute over
+    the stair-extended (garbage but finite) window; the caller discards
+    them.  Per-query ends clamp to the cache's logical length so paged
+    block-table lookups stay in range.
     """
-    b, hq, d = q.shape
+    if q.ndim == 4:
+        b, q_len, hq, d = q.shape
+        multi = True
+    else:
+        b, hq, d = q.shape
+        q_len, multi = 1, False
     f = k_cache.shape[-1]
     assert f == kv_heads * d, (f, kv_heads, d)
     assert hq % kv_heads == 0
@@ -334,18 +454,22 @@ def ragged_decode_attention(
     layer_arr = (jnp.asarray(layer, jnp.int32).reshape(1) if stacked
                  else jnp.zeros((1,), jnp.int32))
 
+    # the multi-query stair may step past the logical length; clamp there
+    s_limit = (block_tables.shape[1] * block if paged else s) if multi else 0
+
     kernel = functools.partial(
         _decode_kernel,
         scale=float(scale), block=block, kv_heads=kv_heads, head_dim=d,
         hkv_pad=hkv_pad, q_groups=groups, paged=paged, int8=int8,
-        stacked=stacked)
+        stacked=stacked, q_len=q_len, s_limit=s_limit)
 
-    # q regrouped OUTSIDE to [B, G, Hkv*D]: group g's slice lane-matches the
-    # flat cache rows (head h of group g lives at lanes [h*D, (h+1)*D)) —
-    # the kernel then runs rank-2 segmented ops only.  q is [B, Hq, D]
-    # (tiny), so this transpose costs nothing per step.
-    qg = q.reshape(b, kv_heads, groups, d).transpose(0, 2, 1, 3
-                                                    ).reshape(b, groups, f)
+    # q regrouped OUTSIDE to [B, q_len*G, Hkv*D]: group g's slice
+    # lane-matches the flat cache rows (head h of group g lives at lanes
+    # [h*D, (h+1)*D)) — the kernel then runs rank-2 segmented ops only.
+    # q is tiny, so this transpose costs nothing per step.
+    q_rows = q_len * groups
+    qg = q.reshape(b, q_len, kv_heads, groups, d
+                   ).transpose(0, 1, 3, 2, 4).reshape(b, q_rows, f)
 
     sdtype = k_scale.dtype if int8 else jnp.float32
     scratch = [
@@ -359,25 +483,34 @@ def ragged_decode_attention(
         num_scalar_prefetch=4,          # starts, ends, tables, layer
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, groups, f), lambda i, *_: (i, 0, 0)),  # q
+            pl.BlockSpec((1, q_rows, f), lambda i, *_: (i, 0, 0)),  # q
             pl.BlockSpec(memory_space=pl.ANY),                  # k cache
             pl.BlockSpec(memory_space=pl.ANY),                  # v cache
             pl.BlockSpec(memory_space=pl.ANY),                  # k scales
             pl.BlockSpec(memory_space=pl.ANY),                  # v scales
         ],
-        out_specs=pl.BlockSpec((1, groups, f), lambda i, *_: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, q_rows, f), lambda i, *_: (i, 0, 0)),
         scratch_shapes=scratch,
     )
     ks = k_scale if int8 else jnp.zeros((1, 1, 1), jnp.float32)
     vs = v_scale if int8 else jnp.zeros((1, 1, 1), jnp.float32)
+    # multi-query mode: body_multi's fori_loop + sub-chunking bound the
+    # stack, but at 13B geometry (F=5120) the selector constants + fp32
+    # chunk temporaries still sit just above the 16 MB DEFAULT scoped-vmem
+    # budget (16.82 MB measured on v5e) — raise the scoped limit toward
+    # the 128 MiB physical VMEM for this mode only; the validated
+    # single-query config keeps the default pipeline/stack split.
+    cparams = dict(dimension_semantics=("arbitrary",))
+    if q_len > 1:
+        cparams["vmem_limit_bytes"] = 64 * 1024 * 1024
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, groups, f), q.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+        out_shape=jax.ShapeDtypeStruct((b, q_rows, f), q.dtype),
+        compiler_params=pltpu.CompilerParams(**cparams),
         interpret=interpret,
     )(starts.astype(jnp.int32), ends.astype(jnp.int32), tables, layer_arr,
       qg, k_cache, v_cache, ks, vs)
-    return out.reshape(b, groups, kv_heads, d).transpose(0, 2, 1, 3
-                                                         ).reshape(b, hq, d)
+    out = out.reshape(b, q_len, groups, kv_heads, d
+                      ).transpose(0, 1, 3, 2, 4).reshape(b, q_len, hq, d)
+    return out if multi else out[:, 0]

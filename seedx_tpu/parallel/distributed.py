@@ -14,10 +14,26 @@ import logging
 import os
 
 import jax
+import numpy as np
 
 logger = logging.getLogger(__name__)
 
 _initialized = False
+
+
+def put_global(x, sharding):
+    """Place an array onto a (possibly multi-process) sharding.
+
+    Single-process: plain ``device_put`` of the full array.  Multi-process
+    (``jax.process_count() > 1``): ``x`` is this HOST'S slice of the global
+    batch — the per-host data sharding contract (reference analogue: each
+    torchrun rank's DistributedReadingService shard,
+    src/train/train_seed_x_sft.py:78-85) — and the global array is
+    assembled from every process's local shard without any cross-host
+    data movement."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
 
 def maybe_initialize() -> None:

@@ -31,6 +31,7 @@ from seedx_tpu import config as config_lib
 from seedx_tpu.models.agent import ContinuousLVLM
 from seedx_tpu.models.vit import VisionTransformer
 from seedx_tpu.parallel import create_mesh, shard_pytree
+from seedx_tpu.parallel.distributed import put_global
 from seedx_tpu.parallel.mesh import mesh_sharding
 from seedx_tpu.train.checkpoints import CheckpointManager
 from seedx_tpu.train.trainer import (TrainConfig, TrainState,
@@ -193,7 +194,14 @@ def _to_device(batch: Dict[str, np.ndarray], mesh,
                accum_axis: bool = False) -> Dict[str, Any]:
     """Place a batch on the mesh: batch dims shard over (data, fsdp).  With
     ``accum_axis`` the leading dim is the accumulation scan axis and stays
-    unsharded."""
+    unsharded.
+
+    Multi-process (2+ hosts): each host passes its LOCAL slice of the
+    global batch (the per-host file sharding in data/pipeline.py already
+    makes streams disjoint); ``put_global`` assembles the global array from
+    the per-process shards.  Validated by tests/test_multiprocess.py over
+    two coordinated CPU processes."""
+    procs = jax.process_count()
     lead = [None] if accum_axis else []
     out = {}
     for k, v in batch.items():
@@ -207,8 +215,8 @@ def _to_device(batch: Dict[str, np.ndarray], mesh,
             sharding = mesh_sharding(mesh, *lead, "images", *([None] * rest))
         else:
             sharding = None
-        # replicate when the sharded dim doesn't divide the batch shards
-        # (tiny debug batches); production batches are divisible.
+        # replicate when the sharded dim doesn't divide the LOCAL batch
+        # shards (tiny debug batches); production batches are divisible.
         if sharding is not None:
             axis = len(lead)
             spec_entry = sharding.spec[axis] if len(sharding.spec) > axis \
@@ -216,9 +224,16 @@ def _to_device(batch: Dict[str, np.ndarray], mesh,
             shards = int(np.prod([mesh.shape[a] for a in
                                   jax.tree.leaves(spec_entry)])) \
                 if spec_entry else 1
-            if v.shape[axis] % max(shards, 1):
+            local_shards = max(shards // procs, 1)
+            if v.shape[axis] % local_shards:
+                if procs > 1:
+                    # replicating per-host data would silently break SPMD
+                    # (every host holds DIFFERENT samples)
+                    raise ValueError(
+                        f"batch key {k!r} local dim {v.shape[axis]} does "
+                        f"not divide the {local_shards} per-host shards")
                 sharding = None
-        out[k] = jax.device_put(v, sharding) if sharding is not None else v
+        out[k] = put_global(v, sharding) if sharding is not None else v
     return out
 
 

@@ -219,3 +219,71 @@ def test_odd_cache_length_picks_divisor_block():
     want = _ref(q, k, v, st, en)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_multi_query_window_stair():
+    """Multi-query window mode (the fused prefill+decode step): q
+    [B, w, Hq, D], query slot i attends [start, end+i) — vs an XLA
+    per-query stair oracle."""
+    b, s, w, hq, hkv, d = 3, 64, 4, 4, 4, 32
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (b, w, hq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, hkv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, hkv, d), jnp.float32)
+    starts = jnp.asarray([0, 2, 5], jnp.int32)
+    ends = jnp.asarray([9, 3, 62], jnp.int32)   # row 2's stair clamps at 64
+
+    out = ragged_decode_attention(q, k.reshape(b, s, -1),
+                                  v.reshape(b, s, -1), starts, ends,
+                                  kv_heads=hkv)
+    assert out.shape == (b, w, hq, d)
+    pos = jnp.arange(s)
+    for i in range(w):
+        kv_valid = ((pos[None, :] >= starts[:, None])
+                    & (pos[None, :] < jnp.minimum(ends + i, s)[:, None]))
+        ref = dot_product_attention(q[:, i:i + 1], k, v, kv_valid=kv_valid,
+                                    causal=False, impl="xla")[:, 0]
+        np.testing.assert_allclose(np.asarray(out[:, i], np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_multi_query_int8_gqa_stacked():
+    """Multi-query mode composes with int8 scales, GQA grouping, and the
+    stacked layer axis."""
+    b, s, w, hkv, g, d = 2, 32, 3, 2, 2, 64
+    hq = hkv * g
+    ks = jax.random.split(jax.random.PRNGKey(4), 3)
+    q = jax.random.normal(ks[0], (b, w, hq, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, hkv, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, hkv, d), jnp.float32)
+    kq, ksc = quantize_kv(k)
+    vq, vsc = quantize_kv(v)
+    L = 2
+    kc = jnp.zeros((L, b, s, hkv * d), jnp.int8).at[1].set(
+        kq.reshape(b, s, -1))
+    vc = jnp.zeros((L, b, s, hkv * d), jnp.int8).at[1].set(
+        vq.reshape(b, s, -1))
+    kss = jnp.zeros((L, b, s, hkv), jnp.float32).at[1].set(
+        ksc.reshape(b, s, hkv).astype(jnp.float32))
+    vss = jnp.zeros((L, b, s, hkv), jnp.float32).at[1].set(
+        vsc.reshape(b, s, hkv).astype(jnp.float32))
+    starts = jnp.asarray([0, 4], jnp.int32)
+    ends = jnp.asarray([10, 30], jnp.int32)
+    out = ragged_decode_attention(q, kc, vc, starts, ends, k_scale=kss,
+                                  v_scale=vss, layer=jnp.int32(1),
+                                  kv_heads=hkv)
+    kd = (kq.astype(jnp.float32)
+          * ksc.astype(jnp.float32)).reshape(b, s, hkv, d)
+    vd = (vq.astype(jnp.float32)
+          * vsc.astype(jnp.float32)).reshape(b, s, hkv, d)
+    pos = jnp.arange(s)
+    for i in range(w):
+        kv_valid = ((pos[None, :] >= starts[:, None])
+                    & (pos[None, :] < jnp.minimum(ends + i, s)[:, None]))
+        ref = dot_product_attention(q[:, i:i + 1], kd, vd,
+                                    kv_valid=kv_valid, causal=False,
+                                    impl="xla")[:, 0]
+        np.testing.assert_allclose(np.asarray(out[:, i], np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=5e-3, rtol=1e-2)

@@ -127,6 +127,21 @@ def test_paged_requires_int4_stacked():
         ContinuousEngine(rt, slots=2, paged=True)
 
 
+def test_paged_fused_matches_dense(int4_rt):
+    """Fused (chunked) prefill composes with paged KV: prompt windows
+    write through the slot's block table (the multi-query ragged stair,
+    ops/decode_attention.py) and results match the legacy dense engine
+    token-for-token at every prefill width."""
+    dense, _ = _drain(int4_rt, paged=False, fused_prefill=False)
+    for w in (2, 64):
+        paged, eng = _drain(int4_rt, paged=True, fused_prefill=True,
+                            prefill_width=w)
+        for d, p in zip(dense, paged):
+            assert list(d["tokens"]) == list(p["tokens"]), w
+        st = eng.stats()
+        assert st["kv_tiles_free"] == st["kv_tiles_total"]
+
+
 def test_paged_mid_flight_submit_and_reuse(int4_rt):
     """Tiles freed by finished requests are reused by later admissions
     (and the dense engine agrees on every result)."""

@@ -197,3 +197,46 @@ def test_cached_engine_spec_matches_plain_with_image_span(tiny_agent):
     np.testing.assert_array_equal(p2, s2)
     # the forced image span really fired in turn 1
     assert list(p1[0][:n]) == [v.img_token_id(i) for i in range(n)]
+
+
+def test_spec_adaptive_gate_disables_below_breakeven(tiny_agent):
+    """Adaptive policy (VERDICT r3 item 7): with an impossible acceptance
+    bar the engine probes spec_probe_rounds rounds, then falls back to
+    plain decode — spec_rounds stops at the probe count, and the emitted
+    tokens are STILL the exact greedy sequence."""
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    ids = [tok.bos_token_id] + tok.encode("adversarial zqx vw kjh unique")
+
+    base_cfg = GenerationConfig(max_new_tokens=24, num_img_gen_tokens=4,
+                                prompt_buckets=(128,))
+    spec_cfg = GenerationConfig(max_new_tokens=24, num_img_gen_tokens=4,
+                                prompt_buckets=(128,), spec_k=4,
+                                spec_adaptive=True, spec_probe_rounds=3,
+                                spec_min_accept=5.0)   # unreachable bar
+    want = _gen(model, variables, tok, ids, base_cfg)
+    got = _gen(model, variables, tok, ids, spec_cfg)
+    assert list(got["tokens"]) == list(want["tokens"])
+    assert got["spec_rounds"] == 3          # probed, then shut off
+    # overhead bound: everything after the probe was plain single steps
+
+
+def test_spec_adaptive_keeps_speculating_when_accepting(tiny_agent):
+    """A zero bar keeps the gate open: every round is speculative
+    (spec_rounds grows past the probe), still token-exact."""
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    ids = [tok.bos_token_id] + tok.encode(
+        "the cat sat on the mat. the cat sat on the mat. the cat")
+
+    base_cfg = GenerationConfig(max_new_tokens=24, num_img_gen_tokens=4,
+                                prompt_buckets=(128,))
+    spec_cfg = GenerationConfig(max_new_tokens=24, num_img_gen_tokens=4,
+                                prompt_buckets=(128,), spec_k=4,
+                                spec_adaptive=True, spec_probe_rounds=2,
+                                spec_min_accept=0.0)
+    want = _gen(model, variables, tok, ids, base_cfg)
+    got = _gen(model, variables, tok, ids, spec_cfg)
+    assert list(got["tokens"]) == list(want["tokens"])
+    assert got["spec_rounds"] > 2
+    assert 0 <= got["spec_accepted"] <= 4 * got["spec_rounds"]
