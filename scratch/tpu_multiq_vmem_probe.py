@@ -110,8 +110,9 @@ def run(name, paged, b, s, w, block=0, pool_rows=0):
 if __name__ == "__main__":
     print("backend:", jax.default_backend(), flush=True)
     # dense-stacked: the serve_continuous fused geometry (S=256+128)
-    # paged-stacked: 12 slots, page 128; pool must hold b*s rows for
-    # the identity block table (the earlier 3072-row run indexed past the
-    # pool - probe bug, garbage reads)
+    run("dense w=8", False, b=8, s=384, w=8)
+    run("dense w=16", False, b=8, s=384, w=16)
+    # paged-stacked: 12 slots, page 128; pool holds b*s rows for the
+    # identity block table
     run("paged w=8", True, b=12, s=384, w=8, block=128,
         pool_rows=12 * 384)

@@ -11,14 +11,21 @@ bytes vs the 16G v5e HBM, plus collective counts, for the PARITY.md
 "v5e-8 train feasibility" row.
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python scratch/v5e8_train_aot.py
-            -> DEVICELESS v5e 2x4 topology AOT (the real TPU compiler +
-               Mosaic flash attention; exact HBM + collective evidence)
+            -> DEVICELESS v5e 2x4 topology AOT (the real TPU compiler).
+               Attention is forced to the XLA path for this compile: the
+               deviceless compiler cannot partition jax custom_partitioning
+               ops ("Custom emitter for CustomSPMDPartitioning not found",
+               r4 session 2 at fsdp=4 x tensor=2; the fsdp=8 flash compile
+               was SIGKILLed mid-compile after 44 min).  The XLA path
+               materialises per-layer [B_shard, H, S, S] attention probs
+               the TPU flash kernel never allocates — at B_shard=1, S=896,
+               H=40 that is ~0.12 GiB f32 per live (rematted) layer, so
+               the reported temp OVERSTATES the real flash program by a
+               few tenths of a GiB: a fits-16G verdict here is conservative.
       PYTHONPATH=/root/repo python scratch/v5e8_train_aot.py --cpu
-            -> virtual-8-CPU fallback (NOTE: off-TPU the attention dispatch
-               falls to the XLA path, which materialises [B,H,S,S] probs the
-               TPU flash kernel never allocates — its temp numbers OVERSTATE
-               the TPU program; measured 18.3 GiB vs the topology compile's
-               truth.  Kept only for environments without the TPU plugin.)
+            -> virtual-8-CPU fallback (same XLA-attention overstatement,
+               plus CPU-backend layouts; measured 18.3 GiB.  Kept only for
+               environments without the TPU plugin.)
 
 Reference training topology this certifies the analogue of:
 /root/reference/configs/accelerate/stage3_fp16_dp.json:18-29 (ZeRO-3 over
@@ -222,7 +229,9 @@ def certify(fsdp: int, tensor: int, batch_size: int = 8, seq: int = 896,
 
 
 if __name__ == "__main__":
-    attn = "xla" if "--xla-attn" in sys.argv else "auto"
+    # deviceless topology compiles REQUIRE the XLA attention path (see
+    # module docstring); --flash-attn opts back in for future toolchains
+    attn = "auto" if "--flash-attn" in sys.argv else "xla"
     if "--tp" in sys.argv:
         certify(fsdp=4, tensor=2, attn=attn)
     else:

@@ -178,15 +178,31 @@ def _admit_fused(state, row, embeds, p_len, last_token, budget,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "gen_cfg", "vocab", "k", "s_max", "w"),
+    static_argnames=("model", "gen_cfg", "vocab", "k", "s_max", "w",
+                     "packed"),
     donate_argnames=("state",))
 def _mixed_chunk(model, variables, state, gen_cfg: GenerationConfig,
-                 vocab: MultimodalVocab, k: int, s_max: int, w: int):
+                 vocab: MultimodalVocab, k: int, s_max: int, w: int,
+                 packed: bool = False):
     """Advance every slot by up to ``k`` MIXED steps: decoding rows emit one
-    greedy/sampled token per step; prefilling rows consume up to ``w``
-    prompt-buffer tokens per step (their KV rides the decode weight
-    stream).  A row whose prefill completes at step i starts sampling at
-    step i+1 — its final prompt position's logits land in prev_logits."""
+    greedy/sampled token per step; prefilling rows consume prompt-buffer
+    tokens (their KV rides the decode weight stream).  A row whose prefill
+    completes at step i starts sampling at step i+1 — its final prompt
+    position's logits land in prev_logits.
+
+    Two step layouts (same token-exact semantics):
+
+      * ``packed=True`` (stacked-int4 engines): each step carries
+        ``P = slots + w`` REAL tokens — one per decoding row plus a
+        ``w``-token prompt chunk packed greedily (row order) across the
+        prefilling rows — through the flat packed forward
+        (decode_stacked.decode_layers_packed).  Projections/MLP cost P
+        tokens, not slots*w: the windowed layout measured 121.8 tok/s vs
+        290.8 legacy on-chip because every decode-only row dragged w-1
+        garbage window slots through the MLP (NOTES_r4).
+      * ``packed=False`` (flax-path fallback): the [slots, w] window step
+        — every row gets a w-slot window, decoding rows use slot 0.
+    """
     b, t = state["out_tokens"].shape
     n_img = gen_cfg.num_img_gen_tokens
     rows = jnp.arange(b)
@@ -221,39 +237,87 @@ def _mixed_chunk(model, variables, state, gen_cfg: GenerationConfig,
                           decoding & ~ended & (n_new < state["budget"]),
                           running)
 
-        # window [b, w, D]: prompt slice for prefilling rows; the sampled
-        # token at slot 0 (rest garbage) for decoding rows
-        tok_embeds = model.apply(variables, token[:, None],
-                                 method="embed_ids")
-        prompt_win = jax.vmap(
-            lambda pe, p: jax.lax.dynamic_slice(
-                pe, (p, 0), (w, pe.shape[-1])))(
-            state["prompt_embeds"], state["p_pos"])
-        tok_win = jnp.pad(tok_embeds.astype(prompt_win.dtype),
-                          ((0, 0), (0, w - 1), (0, 0)))
-        embeds = jnp.where(prefilling[:, None, None], prompt_win, tok_win)
-
-        w_valid = jnp.where(
-            prefilling,
-            jnp.minimum(w, state["p_len"] - state["p_pos"]),
-            jnp.where(decoding, 1, 0)).astype(jnp.int32)
         pos = state["pos"]
-        positions = pos[:, None] + jnp.arange(w)[None, :]
-        # kv window: row-level end mask (required at w==1, where the seq-1
-        # path has no causal bias); for w>1 the per-row causal bias
-        # (q_offset=pos) additionally stops queries seeing later window
-        # slots, so together each query sees exactly [0, pos+i]
-        kv_valid = (jnp.arange(s_max)[None, :]
-                    <= (pos + w_valid - 1)[:, None])
-        logits, hidden, cache = model.apply(
-            variables, embeds, positions, kv_valid, state["cache"], pos,
-            method="llm_step", block_tables=state.get("tables"),
-            write_widths=w_valid)
-        last = jnp.maximum(w_valid - 1, 0)[:, None, None]
-        last_logits = jnp.take_along_axis(logits, last, axis=1)[:, 0]
-        last_hidden = jnp.take_along_axis(hidden, last, axis=1)[:, 0]
+        if packed:
+            # prompt-chunk allocation: w tokens shared greedily in row
+            # order (exactly mirrored by the host's _prefill_remaining
+            # bookkeeping — keep the two in sync)
+            need = jnp.where(prefilling,
+                             jnp.minimum(w, state["p_len"] - state["p_pos"]),
+                             0).astype(jnp.int32)
+            cum = jnp.cumsum(need)
+            alloc = jnp.clip(w - (cum - need), 0, need)
+            w_valid = jnp.where(decoding, 1, alloc).astype(jnp.int32)
 
-        active = prefilling | decoding
+            acum = jnp.cumsum(alloc)
+            off = jnp.arange(w)
+            # prefill token o belongs to the first row whose acum exceeds o
+            r_j = jnp.searchsorted(acum, off, side="right").astype(jnp.int32)
+            valid_p = off < acum[-1]
+            r_c = jnp.minimum(r_j, b - 1)
+            slot_p = (off - (acum[r_c] - alloc[r_c])).astype(jnp.int32)
+
+            tok_embeds = model.apply(variables, token, method="embed_ids")
+            pe = state["prompt_embeds"]
+            emb_p = pe[r_c, state["p_pos"][r_c] + slot_p]       # [w, D]
+            embeds = jnp.concatenate(
+                [tok_embeds.astype(pe.dtype), emb_p], axis=0)   # [P, D]
+            tok_row = jnp.concatenate(
+                [jnp.where(decoding, rows, b),
+                 jnp.where(valid_p, r_j, b)]).astype(jnp.int32)
+            tok_slot = jnp.concatenate(
+                [jnp.zeros((b,), jnp.int32), slot_p])
+            positions = pos[jnp.minimum(tok_row, b - 1)] + tok_slot
+            kv_valid = (jnp.arange(s_max)[None, :]
+                        <= (pos + w_valid - 1)[:, None])
+            logits, hidden, cache = model.apply(
+                variables, embeds, positions, kv_valid, state["cache"],
+                pos, method="llm_step", block_tables=state.get("tables"),
+                write_widths=w_valid, tok_row=tok_row, tok_slot=tok_slot,
+                packed_window=w)
+            # per-row LAST token: a decoding row's sole token sits at
+            # packed index row; a prefilling row's chunk ends at
+            # b + acum - 1.  Rows given no tokens this step gather garbage
+            # that `keep` masks below.
+            last_idx = jnp.clip(jnp.where(decoding, rows, b + acum - 1),
+                                0, b + w - 1)
+            last_logits = logits[last_idx]
+            last_hidden = hidden[last_idx]
+            active = decoding | (prefilling & (alloc > 0))
+        else:
+            # window [b, w, D]: prompt slice for prefilling rows; the
+            # sampled token at slot 0 (rest garbage) for decoding rows
+            tok_embeds = model.apply(variables, token[:, None],
+                                     method="embed_ids")
+            prompt_win = jax.vmap(
+                lambda pe, p: jax.lax.dynamic_slice(
+                    pe, (p, 0), (w, pe.shape[-1])))(
+                state["prompt_embeds"], state["p_pos"])
+            tok_win = jnp.pad(tok_embeds.astype(prompt_win.dtype),
+                              ((0, 0), (0, w - 1), (0, 0)))
+            embeds = jnp.where(prefilling[:, None, None], prompt_win,
+                               tok_win)
+
+            w_valid = jnp.where(
+                prefilling,
+                jnp.minimum(w, state["p_len"] - state["p_pos"]),
+                jnp.where(decoding, 1, 0)).astype(jnp.int32)
+            positions = pos[:, None] + jnp.arange(w)[None, :]
+            # kv window: row-level end mask (required at w==1, where the
+            # seq-1 path has no causal bias); for w>1 the per-row causal
+            # bias (q_offset=pos) additionally stops queries seeing later
+            # window slots, so together each query sees exactly [0, pos+i]
+            kv_valid = (jnp.arange(s_max)[None, :]
+                        <= (pos + w_valid - 1)[:, None])
+            logits, hidden, cache = model.apply(
+                variables, embeds, positions, kv_valid, state["cache"],
+                pos, method="llm_step", block_tables=state.get("tables"),
+                write_widths=w_valid)
+            last = jnp.maximum(w_valid - 1, 0)[:, None, None]
+            last_logits = jnp.take_along_axis(logits, last, axis=1)[:, 0]
+            last_hidden = jnp.take_along_axis(hidden, last, axis=1)[:, 0]
+            active = prefilling | decoding
+
         keep = lambda new, old: jnp.where(active[:, None], new, old)
         state = dict(
             state, cache=cache, out_tokens=out_tokens, out_hidden=out_hidden,
@@ -413,8 +477,17 @@ class ContinuousEngine:
             fused_prefill = not paged
         self.fused = fused_prefill
         self.prefill_width = prefill_width
-        # host mirror of each slot's remaining prompt tokens (exact: every
-        # mixed step consumes min(w, remaining))
+        # PACKED fused layout whenever the stacked-int4 decode loop will
+        # dispatch (mirror of LlamaModel's use_stacked gate): projections
+        # run over slots + prefill_width real tokens instead of the
+        # [slots, w] window (decode_stacked.decode_layers_packed)
+        self._packed = (
+            cfg.scan_layers and cfg.quantization == "int4"
+            and cfg.stacked_decode != "never"
+            and (cfg.stacked_decode == "force"
+                 or jax.default_backend() == "tpu"))
+        # host mirror of each slot's remaining prompt tokens (exact: the
+        # simulation in step() replays the device's allocation rule)
         self._prefill_remaining = [0] * slots
         if paged:
             if cfg.quantization != "int4" or cfg.decode_attention == "never":
@@ -511,7 +584,7 @@ class ContinuousEngine:
             self.state = _mixed_chunk(
                 self.model, self.variables, self.state, self.gen_cfg,
                 self.vocab, self.chunk_steps, self._s_max,
-                self.prefill_width)
+                self.prefill_width, packed=self._packed)
             self.state = _decode_chunk(
                 self.model, self.variables, self.state, self.gen_cfg,
                 self.vocab, self.chunk_steps, self._s_max)
@@ -813,14 +886,31 @@ class ContinuousEngine:
         if any(r is not None for r in self._slot_req):
             if self.fused and any(r > 0 for r in self._prefill_remaining):
                 # someone is mid-prompt: run the mixed (prefill+decode)
-                # program; each step consumes min(w, remaining) per row
+                # program
                 self.state = _mixed_chunk(
                     self.model, self.variables, self.state, self.gen_cfg,
                     self.vocab, self.chunk_steps, self._s_max,
-                    self.prefill_width)
-                burn = self.chunk_steps * self.prefill_width
-                self._prefill_remaining = [
-                    max(0, r - burn) for r in self._prefill_remaining]
+                    self.prefill_width, packed=self._packed)
+                if self._packed:
+                    # exact host replay of the device's greedy allocation:
+                    # each step shares a prefill_width token budget across
+                    # prefilling rows in row order (_mixed_chunk packed)
+                    rem = list(self._prefill_remaining)
+                    for _ in range(self.chunk_steps):
+                        budget = self.prefill_width
+                        for r in range(len(rem)):
+                            take = min(rem[r], budget)
+                            rem[r] -= take
+                            budget -= take
+                        if budget == self.prefill_width:
+                            break
+                    self._prefill_remaining = rem
+                else:
+                    # windowed layout: every prefilling row consumes
+                    # min(w, remaining) per step
+                    burn = self.chunk_steps * self.prefill_width
+                    self._prefill_remaining = [
+                        max(0, r - burn) for r in self._prefill_remaining]
             else:
                 self.state = _decode_chunk(
                     self.model, self.variables, self.state, self.gen_cfg,

@@ -158,13 +158,16 @@ class ContinuousLVLM(nn.Module):
         return self.llm.embed(input_ids)
 
     def llm_step(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0, block_tables=None, write_widths=None):
+                 cache_index=0, block_tables=None, write_widths=None,
+                 tok_row=None, tok_slot=None, packed_window=0):
         """One llm forward (prefill or decode step); returns
         (logits, hidden, new_cache).  ``block_tables`` selects the paged-KV
-        decode path; ``write_widths`` the fused ragged prefill+decode step
-        (see LlamaForCausalLM.__call__)."""
+        decode path; ``write_widths`` the fused ragged prefill+decode step;
+        ``tok_row``/``tok_slot``/``packed_window`` its PACKED variant over
+        a flat [P, hidden] token batch (see LlamaForCausalLM.__call__)."""
         return self.llm(inputs_embeds, positions, kv_valid, cache,
-                        cache_index, block_tables, write_widths)
+                        cache_index, block_tables, write_widths,
+                        tok_row, tok_slot, packed_window)
 
     def decode_image_feats(self, hidden_states):
         """Output-resampler pass over generated hidden spans

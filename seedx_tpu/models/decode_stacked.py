@@ -133,17 +133,15 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
             and blk >= 8
             and (cfg.decode_attention == "force"
                  or (jax.default_backend() == "tpu" and b >= 2
-                     and not mixed
                      and f_flat % 128 == 0 and blk % granule == 0)))
-        # mixed + auto -> XLA: the kernel's multi-query window mode is
-        # correct but its segmented-matmul score op (a [cc,F]@[F,128] MXU
-        # dot per window row) multiplies the single-query design's dense-
-        # selector FLOP overhead by w — measured on-chip it sank fused
-        # serving to 71.9 tok/s vs 261.9 legacy, while the XLA path (full
-        # cache read, per-row causal bias) measured within ~5% of ragged
-        # at serving cache sizes (r3: 247.6 vs 261.7).  Paged pools have
-        # no XLA path (block-table gather), so paged fused keeps the
-        # kernel; "force" keeps it for parity tests.
+        # mixed steps ride the kernel's multi-query window mode.  History:
+        # the v1 window mode (per-row f32-HIGHEST segmented dots) sank
+        # fused serving to 71.9 tok/s vs 261.9 legacy on-chip and mixed
+        # steps were routed to the XLA path (itself only ~5% under ragged
+        # at serving cache sizes, but its full-cache int8 dequant made
+        # mixed chunks ~1.5x a decode chunk); the v3 bf16-operand kernel
+        # (ops/decode_attention.py) shares one score matmul across the
+        # window, so mixed ragged is back to ~decode cost.
     if use_ragged:
         m32 = kv_valid.astype(jnp.int32)
         starts = jnp.argmax(m32, axis=-1).astype(jnp.int32)
@@ -286,3 +284,206 @@ def decode_layers_stacked(cfg, layer_params: Any, x: jnp.ndarray,
                                   (x.reshape(b * s, hidden).astype(cfg.dtype),
                                    cache))
     return x2.reshape(b, s, hidden), cache
+
+
+def decode_layers_packed(cfg, layer_params: Any, x: jnp.ndarray,
+                         cos: jnp.ndarray, sin: jnp.ndarray,
+                         kv_valid, cache: Tuple[jnp.ndarray, ...],
+                         cache_index, *, tok_row, tok_slot, write_widths,
+                         window: int, block_tables=None,
+                         interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+    """PACKED fused prefill+decode step: projections/MLP over real tokens
+    only.
+
+    The windowed mixed step above runs every projection over ``b*s``
+    tokens even though decode-only rows carry one real token — at the
+    serving geometry (8 slots, w=8) that is 64 tokens/step, past the int4
+    weight-stream/compute crossover (~22 tokens on a v5e), and fused
+    serving measured 121.8 tok/s vs 290.8 legacy on-chip (NOTES_r4).  The
+    packed step carries ``P = b + window`` tokens: packed index i < b is
+    row i's decode token (valid iff the row is decoding this step), and
+    indices [b, b+window) hold prompt-chunk tokens packed greedily across
+    the prefilling rows.  Projections, MLP, and norms run on the packed
+    [P, hidden] batch — ~3x fewer tokens at the serving geometry — while
+    attention scatters q into the [b, window] layout of the multi-query
+    ragged kernel (whose extra window slots ride the per-row KV stream
+    for near-zero cost; ops/decode_attention.py) and gathers the valid
+    rows back.
+
+    Args (beyond decode_layers_stacked):
+      x: [P, hidden] packed token embeddings, P == b + window.
+      cos/sin: [P, head_dim] rope tables at each token's absolute position.
+      tok_row: [P] int32 — owning batch row; ``b`` marks an invalid token
+        (its KV write OOB-drops and nothing gathers its output).
+      tok_slot: [P] int32 — offset within the row's step window; token
+        position = cache_index[tok_row] + tok_slot.  Must be < window and
+        < write_widths[tok_row] for valid tokens (the engine's packing
+        guarantees both).
+      write_widths: [b] int32 — tokens each row consumes this step
+        (decode rows 1, prefilling rows their chunk share, frozen 0).
+      window: static int — max per-row width (the attention window).
+    Returns:
+      (hidden [P, hidden], new cache).
+    """
+    p_tok, hidden = x.shape
+    b = cache_index.shape[0]
+    nh, hd = cfg.num_kv_heads, cfg.head_dim
+    int8_kv = len(cache) == 4
+    paged = block_tables is not None
+    assert getattr(cache_index, "ndim", 0) == 1, \
+        "packed step requires per-row cache offsets"
+
+    row_c = jnp.minimum(tok_row, b - 1)                    # clamped gathers
+    pos_t = cache_index[row_c] + tok_slot                  # [P] absolute
+
+    # ragged attention dispatch mirrors the Mosaic-alignment gate of
+    # decode_layers_stacked above
+    if paged:
+        assert kv_valid is not None and cfg.decode_attention != "never", \
+            "paged KV requires the ragged attention kernel"
+        kv_len = kv_valid.shape[1]
+        n_tiles = block_tables.shape[1]
+        assert kv_len % n_tiles == 0
+        page = kv_len // n_tiles
+        use_ragged = True
+    else:
+        max_len = cache[0].shape[2]
+        f_flat = nh * hd
+        blk = _pick_block(max_len,
+                          row_bytes=f_flat * cache[0].dtype.itemsize)
+        granule = {1: 32, 2: 16, 4: 8}[cache[0].dtype.itemsize]
+        use_ragged = (
+            kv_valid is not None and cfg.decode_attention != "never"
+            and blk >= 8
+            and (cfg.decode_attention == "force"
+                 or (jax.default_backend() == "tpu"
+                     and f_flat % 128 == 0 and blk % granule == 0)))
+    if use_ragged:
+        # multi-query stair (ops/decode_attention.py): query slot i of row
+        # r attends [start_r, end_r + i); kv_valid covers [start,
+        # pos + width), so the stair base subtracts (width - 1)
+        m32 = kv_valid.astype(jnp.int32)
+        starts = jnp.argmax(m32, axis=-1).astype(jnp.int32)
+        ends = (starts + jnp.sum(m32, axis=-1)
+                - jnp.maximum(write_widths - 1, 0))
+
+    # per-token cache write index; invalid tokens scatter out of bounds
+    if paged:
+        col = pos_t // page
+        in_range = (tok_row < b) & (col < n_tiles)
+        tiles = block_tables[row_c, jnp.minimum(col, n_tiles - 1)]
+        widx = jnp.where(in_range, tiles * page + pos_t % page,
+                         cache[0].shape[1])                # pool row / OOB
+    else:
+        widx = jnp.where(tok_row < b, pos_t, cache[0].shape[2])
+
+    def proj(name: str, h2: jnp.ndarray, li: jnp.ndarray) -> jnp.ndarray:
+        p = layer_params[name]
+        packed, scale = p["kernel_q4"], p["kernel_scale"]
+        group = h2.shape[-1] // scale.shape[1]
+        y = int4_matmul_stacked(h2.astype(cfg.dtype), packed, scale, li,
+                                group=group, interpret=interpret)
+        if "lora_a" in p:
+            a = _index(p["lora_a"], li).astype(cfg.dtype)
+            bm = _index(p["lora_b"], li).astype(cfg.dtype)
+            lscale = cfg.lora_alpha / cfg.lora_rank
+            y = y + lscale * ((h2.astype(cfg.dtype) @ a) @ bm)
+        return y
+
+    def store(buf: jnp.ndarray, val: jnp.ndarray, li: jnp.ndarray
+              ) -> jnp.ndarray:
+        """Scatter val [P, f] at each token's (row, position)."""
+        if paged:
+            return buf.at[li, widx].set(val.astype(buf.dtype), mode="drop")
+        return buf.at[li, tok_row, widx].set(val.astype(buf.dtype),
+                                             mode="drop")
+
+    def to_window(t: jnp.ndarray) -> jnp.ndarray:
+        """Scatter packed [P, heads, hd] -> [b, window, heads, hd] (invalid
+        tokens drop; untouched slots stay zero — the kernel computes
+        garbage there and nothing gathers it)."""
+        out = jnp.zeros((b, window) + t.shape[1:], t.dtype)
+        return out.at[tok_row, tok_slot].set(t, mode="drop")
+
+    def from_window(t: jnp.ndarray) -> jnp.ndarray:
+        """Gather [b, window, f] -> packed [P, f]."""
+        return t[row_c, tok_slot]
+
+    def body(li, carry):
+        x2, cache = carry                                  # x2 [P, hidden]
+        ln1 = _index(layer_params["input_layernorm"]["scale"], li)
+        h = rms_norm(x2.astype(cfg.dtype), ln1.astype(cfg.dtype),
+                     cfg.rms_eps)
+
+        q = proj("q_proj", h, li).reshape(p_tok, cfg.num_heads, hd)
+        k = proj("k_proj", h, li).reshape(p_tok, nh, hd)
+        v = proj("v_proj", h, li).reshape(p_tok, nh, hd)
+        q = apply_rope(q[None], cos[None], sin[None])[0]
+        k = apply_rope(k[None], cos[None], sin[None])[0]
+
+        if int8_kv:
+            from seedx_tpu.models.llama import quantize_kv
+
+            ck, cv, ks, vs = cache
+            sw = ks.shape[-1]              # lane-padded (kv_scale_width)
+            kq, ksc = quantize_kv(k)
+            vq, vsc = quantize_kv(v)
+            ck = store(ck, kq.reshape(p_tok, nh * hd), li)
+            cv = store(cv, vq.reshape(p_tok, nh * hd), li)
+            ks = store(ks, jnp.pad(ksc.reshape(p_tok, nh).astype(ks.dtype),
+                                   ((0, 0), (0, sw - nh))), li)
+            vs = store(vs, jnp.pad(vsc.reshape(p_tok, nh).astype(vs.dtype),
+                                   ((0, 0), (0, sw - nh))), li)
+            cache = (ck, cv, ks, vs)
+        else:
+            ck, cv = cache
+            ck = store(ck, k.reshape(p_tok, nh * hd), li)
+            cv = store(cv, v.reshape(p_tok, nh * hd), li)
+            cache = (ck, cv)
+
+        q_win = to_window(q)
+        if use_ragged:
+            if int8_kv:
+                attn = ragged_decode_attention(
+                    q_win, cache[0], cache[1], starts, ends,
+                    k_scale=cache[2], v_scale=cache[3],
+                    block_tables=block_tables, layer=li, kv_heads=nh,
+                    block=page if paged else 0, interpret=interpret)
+            else:
+                attn = ragged_decode_attention(
+                    q_win, cache[0], cache[1], starts, ends,
+                    block_tables=block_tables, layer=li, kv_heads=nh,
+                    block=page if paged else 0, interpret=interpret)
+        else:
+            # XLA window path (CPU parity / alignment fallbacks): per-row
+            # causal — query slot i of row r sees positions <= pos_r + i
+            if int8_kv:
+                ckl = (_index(cache[0], li).reshape(b, max_len, nh, hd
+                                                    ).astype(cfg.dtype)
+                       * _index(cache[2], li)[..., :nh, None
+                                              ].astype(cfg.dtype))
+                cvl = (_index(cache[1], li).reshape(b, max_len, nh, hd
+                                                    ).astype(cfg.dtype)
+                       * _index(cache[3], li)[..., :nh, None
+                                              ].astype(cfg.dtype))
+            else:
+                ckl = _index(cache[0], li).reshape(b, max_len, nh, hd)
+                cvl = _index(cache[1], li).reshape(b, max_len, nh, hd)
+            attn = dot_product_attention(
+                q_win, ckl, cvl, kv_valid=kv_valid, causal=True,
+                q_offset=cache_index, impl="xla")
+        attn = from_window(attn.reshape(b, window, cfg.num_heads * hd))
+        x2 = x2 + proj("o_proj", attn, li).astype(x2.dtype)
+
+        ln2 = _index(layer_params["post_attention_layernorm"]["scale"], li)
+        h = rms_norm(x2.astype(cfg.dtype), ln2.astype(cfg.dtype),
+                     cfg.rms_eps)
+        gate = proj("gate_proj", h, li)
+        up = proj("up_proj", h, li)
+        down = proj("down_proj", jax.nn.silu(gate) * up, li)
+        return x2 + down.astype(x2.dtype), cache
+
+    x2, cache = jax.lax.fori_loop(0, cfg.num_layers, body,
+                                  (x.astype(cfg.dtype), cache))
+    return x2, cache

@@ -392,19 +392,10 @@ def generate_tokens(
         new_hidden = jax.lax.dynamic_index_in_dim(
             hidden_v[0], a, 0, keepdims=False)[None]
         new_finished = finished | (last_tok == gen_cfg.eos_token_id)
-        rounds = rounds + 1
-        accepted = accepted + a
-        # adaptive gate: probe freely, then keep speculating only while the
-        # measured accept rate clears breakeven (bounded worst case)
-        if gen_cfg.spec_adaptive:
-            spec_on = ((rounds < gen_cfg.spec_probe_rounds)
-                       | (accepted.astype(jnp.float32)
-                          >= gen_cfg.spec_min_accept
-                          * rounds.astype(jnp.float32)))
         return (cache, new_logits, new_hidden, prev_pos + e_count,
                 last_tok.reshape(1), new_finished, rng, out_tokens,
                 out_hidden, out_finished, hist, n + e_count,
-                (rounds, accepted, spec_on))
+                _spec_gate_update(sp, a, gen_cfg))
 
     if spec_k and gen_cfg.spec_adaptive:
         def inner_step(state):

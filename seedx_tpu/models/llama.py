@@ -349,17 +349,23 @@ class LlamaModel(nn.Module):
 
     @nn.compact
     def __call__(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0, block_tables=None, write_widths=None):
+                 cache_index=0, block_tables=None, write_widths=None,
+                 tok_row=None, tok_slot=None, packed_window=0):
         """Returns (hidden_states, new_cache).  ``write_widths`` enables the
-        fused ragged prefill+decode step (see LlamaBlock)."""
+        fused ragged prefill+decode step (see LlamaBlock).  ``tok_row`` /
+        ``tok_slot`` / ``packed_window`` select the PACKED fused step
+        (decode_stacked.decode_layers_packed): ``inputs_embeds`` is a flat
+        [P, hidden] token batch (P = slots + packed_window), ``positions``
+        [P], and the returned hidden is [P, hidden] — stacked-int4 only."""
         cfg = self.cfg
         x = inputs_embeds.astype(cfg.dtype)
         cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+        packed = tok_row is not None
 
         use_stacked = (
             cfg.scan_layers and cfg.quantization == "int4"
             and cache is not None
-            and (x.shape[1] == 1 or write_widths is not None)
+            and (packed or x.shape[1] == 1 or write_widths is not None)
             and cfg.stacked_decode != "never"
             and not self.is_initializing()
             and (cfg.stacked_decode == "force"
@@ -368,7 +374,23 @@ class LlamaModel(nn.Module):
             raise ValueError(
                 "paged KV (block_tables) requires the stacked int4 decode "
                 "path (quantization='int4', seq==1, stacked_decode on)")
-        if use_stacked:
+        if packed and not use_stacked:
+            raise ValueError(
+                "packed fused step (tok_row) requires the stacked int4 "
+                "decode path")
+        if packed:
+            from seedx_tpu.models.decode_stacked import decode_layers_packed
+
+            layer_params = nn.meta.unbox(
+                self.variables["params"]["layers"]["layer"])
+            x, new_cache = decode_layers_packed(
+                cfg, layer_params, x, cos, sin, kv_valid, cache,
+                jnp.asarray(cache_index, jnp.int32),
+                tok_row=tok_row, tok_slot=tok_slot,
+                write_widths=write_widths, window=packed_window,
+                block_tables=block_tables,
+                interpret=jax.default_backend() != "tpu")
+        elif use_stacked:
             from seedx_tpu.models.decode_stacked import decode_layers_stacked
 
             layer_params = nn.meta.unbox(
@@ -439,7 +461,8 @@ class LlamaForCausalLM(nn.Module):
         return self(self.embed(input_ids), positions, kv_valid)
 
     def __call__(self, inputs_embeds, positions, kv_valid=None, cache=None,
-                 cache_index=0, block_tables=None, write_widths=None):
+                 cache_index=0, block_tables=None, write_widths=None,
+                 tok_row=None, tok_slot=None, packed_window=0):
         """Returns (logits, last_hidden_state, new_cache).
 
         block_tables: [batch, n_tiles] int32 — the cache is a shared PAGED
@@ -447,11 +470,13 @@ class LlamaForCausalLM(nn.Module):
         at pool tile ``block_tables[b, j]``; requires the stacked int4
         decode path + ragged attention (paged continuous serving).
         write_widths: [batch] int32 — fused ragged prefill+decode step
-        (see LlamaBlock)."""
+        (see LlamaBlock).  tok_row/tok_slot/packed_window: the PACKED
+        fused step over a flat [P, hidden] token batch (see LlamaModel)."""
         hidden, new_cache = self.model(
             inputs_embeds, positions, kv_valid=kv_valid, cache=cache,
             cache_index=cache_index, block_tables=block_tables,
-            write_widths=write_widths)
+            write_widths=write_widths, tok_row=tok_row, tok_slot=tok_slot,
+            packed_window=packed_window)
         logits = self.lm_head(hidden)
         if self.cfg.padded_vocab_size != self.cfg.vocab_size:
             # vocab-padded TP layout: pad columns can never win argmax or

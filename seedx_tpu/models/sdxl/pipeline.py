@@ -157,13 +157,18 @@ def denoise_edit(
 ) -> jnp.ndarray:
     """3-way InstructPix2Pix CFG (reference: pipeline...py:905-937).
 
-    Branch order [text, image, uncond]; condition latents are channel-concat
-    (text & image branches get the condition, uncond gets zeros — reference
-    prepare_image_latents :537-545).
+    Branch order [text, image, uncond]; the TEXT branch alone gets the
+    prompt — the image branch pairs the NEGATIVE prompt with the condition
+    image (reference :883-885: ``cat([prompt, negative, negative])``, "the
+    extra concat similar to how it's done in SD InstructPix2Pix"), so
+    ``text - image`` isolates the prompt's effect at fixed image
+    conditioning.  Condition latents are channel-concat (text & image
+    branches get the condition, uncond gets zeros — reference
+    prepare_image_latents :537-546).
     """
-    context = jnp.concatenate([prompt_embeds, prompt_embeds,
+    context = jnp.concatenate([prompt_embeds, negative_prompt_embeds,
                                negative_prompt_embeds])
-    pooled_all = jnp.concatenate([pooled, pooled, negative_pooled])
+    pooled_all = jnp.concatenate([pooled, negative_pooled, negative_pooled])
     tids = jnp.concatenate([time_ids] * 3)
     cond = jnp.concatenate(
         [image_latents, image_latents, jnp.zeros_like(image_latents)])

@@ -23,7 +23,8 @@ Round 3 closed that: it Mosaic-compiles and runs on the v5e
 B=8 decode 562 vs 361 tok/s (+56%), but B=1 72.5 vs 82.1, hence the
 batch >= 2 "auto" cutoff in models/decode_stacked.py).
 
-Kernel structure — shaped by those on-chip Mosaic rounds:
+Kernel structure — shaped by those on-chip Mosaic rounds (v1) and the r4
+multi-query redesign (v3):
   * every vector value is rank <= 2 (the first round's ``[block, Hkv, G]``
     temporaries died on 3D reductions with singleton minor dims);
   * KV tiles are DMA'd as FULL contiguous rows ``[block, Hkv*D]`` of the
@@ -31,11 +32,21 @@ Kernel structure — shaped by those on-chip Mosaic rounds:
     tile-aligned memref slices (second round: "slice shape along dimension
     2 must be aligned to tiling (8)"), and a head-major cache would
     force a layout change on every cache producer in the repo;
-  * per-head score/value sums over the flat feature dim are SEGMENTED
-    matmuls against constant 0/1 selector matrices built from 2D iota —
-    ``(k*q) @ seg[F,Hkv]`` gives all heads' scores in one MXU op, and
-    ``p @ exp[Hkv,F]`` broadcasts per-head softmax weights back to the
-    flat layout for the value sum;
+  * scores are ONE single-pass bf16 MXU matmul per tile against an
+    in-kernel scatter matrix ``Q [F, C]`` (C = q_rows*W) whose column
+    r*W+h holds query row r masked to head h's lanes.  The cache (bf16,
+    or int8 — exact in bf16) and q are RAW bf16 values, so bf16 operands
+    with f32 MXU accumulation give the same exact products the original
+    f32-HIGHEST segmented-matmul emulation computed, at ~1/6 the passes
+    and with all window rows sharing one op.  The 1/sqrt(D) scale applies
+    AFTER the matmul, so q is never pre-rounded.  (v1 computed per-head
+    scores as ``(k*q_r) @ seg[F,W]`` per window row in f32 HIGHEST —
+    measured on-chip that multiplied attention compute by ~q_len and sank
+    fused serving 3.6x, NOTES_r4.md);
+  * ``p_r @ exp[W,F]`` broadcasts per-head softmax weights back to the
+    flat layout for the value sum (bf16 p operand: <= 2^-9 relative on
+    post-softmax weights); the M=1 alpha/inv_l accumulator rescales stay
+    f32-HIGHEST so per-tile rounding never compounds;
   * int8 KV scales apply in their position-major ``[block, W]`` layout
     because they factor out of the per-segment dots:
     ``sum_f k_int[t,f] q[f] * ks[t,h] = ks[t,h] * (k_int . q)[t,h]``;
@@ -182,56 +193,81 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
     def _():
         start_tile(0, j0)
 
-    # q pre-grouped outside to [G, F] (group g's heads flattened into the
-    # cache's lane layout), pre-scaled
-    q = q_ref[0].astype(jnp.float32) * scale
-
-    # constant segment selectors from 2D iota (no transposes):
-    # seg[f, h] = 1 iff lane f belongs to head h; exp = seg^T built
-    # directly.  Pad lanes h >= kv_heads are all-zero columns/rows, so
-    # nothing computed there ever reaches the output.
+    # ---- v3 compute structure (bf16-operand MXU, one body for all q_len)
+    #
+    # The v1/v2 design computed per-head scores as f32-HIGHEST segmented
+    # matmuls over k*q PRODUCTS — correct, but (a) the dense selector
+    # wastes ~W/1 FLOPs per head, (b) HIGHEST costs ~6 MXU passes to
+    # emulate f32, and (c) the multi-query window multiplied all of it by
+    # q_len (measured on-chip: fused serving sank to 71.9 tok/s vs 261.9).
+    # Key numerics fact: the cache (bf16, or int8 which converts to bf16
+    # EXACTLY) and q (bf16) are raw bf16 values, so a single-pass bf16
+    # matmul with f32 MXU accumulation computes the same exact products
+    # the HIGHEST emulation did — no operand rounding exists to avoid.
+    # Scores therefore come from ONE native matmul against a scatter
+    # matrix Q [F, C], C = q_rows*W, whose column r*W+h holds q row r
+    # masked to head h's lanes (built in-kernel from constants + qT; the
+    # 1/sqrt(D) scale applies AFTER the matmul so q is never pre-rounded).
+    # Softmax state is a flat [1, C] vector; only the value broadcast
+    # (p_r @ expm, operand p rounded bf16, <= 2^-9 relative on the
+    # post-softmax weights) and the alpha/inv_l rescales stay per-row.
     w = hkv_pad
-    seg = (jax.lax.broadcasted_iota(jnp.int32, (f, w), 0) // head_dim
-           == jax.lax.broadcasted_iota(jnp.int32, (f, w), 1)
-           ).astype(jnp.float32)
-    expm = (jax.lax.broadcasted_iota(jnp.int32, (w, f), 1) // head_dim
-            == jax.lax.broadcasted_iota(jnp.int32, (w, f), 0)
-            ).astype(jnp.float32)
+    q_rows = q_len * q_groups
+    c_cols = q_rows * w
 
-    def seg_dot(x, sel):
-        # HIGHEST: multi-pass f32 MXU emulation — single-pass bf16 rounding
-        # of the operands costs ~1e-3 absolute on the scores (measured on
-        # chip), outside the kernel's exactness budget vs the XLA oracle
-        return jax.lax.dot_general(x, sel, (((1,), (0,)), ((), ())),
+    # constant selectors from 2D iota (no transposes):
+    # seg16[f, h] = 1 iff lane f belongs to head h (bf16, exact 0/1);
+    # expm broadcasts per-head [.., W] vectors back to the flat lane
+    # layout.  Pad lanes h >= kv_heads are all-zero columns/rows.
+    seg16 = (jax.lax.broadcasted_iota(jnp.int32, (f, w), 0) // head_dim
+             == jax.lax.broadcasted_iota(jnp.int32, (f, w), 1)
+             ).astype(jnp.bfloat16)
+    expm16 = (jax.lax.broadcasted_iota(jnp.int32, (w, f), 1) // head_dim
+              == jax.lax.broadcasted_iota(jnp.int32, (w, f), 0)
+              ).astype(jnp.bfloat16)
+    expm32 = expm16.astype(jnp.float32)
+
+    def dot16(a, sel):
+        """Native single-pass bf16 MXU dot with f32 accumulation."""
+        return jax.lax.dot_general(a, sel, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot32(a, sel):
+        # HIGHEST f32: for the M=1 alpha/inv_l rescale broadcasts, where
+        # repeated per-tile rounding of the accumulator scale would
+        # compound; cost is negligible at M=1
+        return jax.lax.dot_general(a, sel, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32,
                                    precision=jax.lax.Precision.HIGHEST)
 
-    q_rows = q_len * q_groups
+    # Q [F, C] bf16: column r*W+h = q[r] masked to head h's lanes.  Built
+    # per row via a tiny selector matmul (qcol = qT @ onehot_r broadcast,
+    # values copied exactly) then masked by seg16; concatenated along
+    # lanes (128-aligned pieces).  No dynamic slicing anywhere.
+    qt = q_ref[0].astype(jnp.bfloat16)            # [F, q_rows], raw bf16
+    q_cols = []
+    for r in range(q_rows):
+        sel_r = (jax.lax.broadcasted_iota(jnp.int32, (q_rows, w), 0) == r
+                 ).astype(jnp.bfloat16)
+        qcol = dot16(qt, sel_r).astype(jnp.bfloat16)   # [F, W], exact copy
+        q_cols.append(qcol * seg16)
+    q_mat = jnp.concatenate(q_cols, axis=1) if q_rows > 1 else q_cols[0]
 
-    def flash_update(m, l, acc, kc, vc, ksc, vsc, valid, q_r):
-        """One streaming-softmax update of row state (m, l [1, W];
-        acc [1, F]) against a KV chunk kc/vc [cc, F] (+int8 scales
-        [cc, W]) under mask ``valid`` [cc, W]."""
-        s = seg_dot(kc * q_r, seg)               # [cc, W]
-        if int8:
-            s = s * ksc                          # scales factor out
-        s = jnp.where(valid, s, NEG_INF)
+    # int8 scale tiling [W] -> [C]: tile16[h, r*W+h'] = (h == h')
+    if int8 and q_rows > 1:
+        tile16 = (jax.lax.broadcasted_iota(jnp.int32, (w, c_cols), 0)
+                  == jax.lax.broadcasted_iota(jnp.int32, (w, c_cols), 1) % w
+                  ).astype(jnp.bfloat16)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=0, keepdims=True))
-        # explicit guard: a fully-masked tile keeps m_new == NEG_INF
-        # and exp(NEG_INF - NEG_INF) would be 1 — zero it instead
-        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)
-        alpha = jnp.where(m == NEG_INF, 0.0, jnp.exp(m - m_new))
-        l = l * alpha + jnp.sum(p, axis=0, keepdims=True)
-        if int8:
-            p = p * vsc                          # v scales fold into p
-        # broadcast per-head weights back to lanes, weight v, sum
-        pv = jnp.sum(seg_dot(p, expm) * vc, axis=0, keepdims=True)
-        acc = acc * seg_dot(alpha, expm) + pv    # [1, F]
-        return m_new, l, acc
+    # column decode for masks: col c -> window row r = c // W (query slot
+    # qi = r // G), head h = c % W
+    col_qi = (jax.lax.broadcasted_iota(jnp.int32, (block, c_cols), 1)
+              // w) // q_groups
+    col_head_ok = (jax.lax.broadcasted_iota(jnp.int32, (block, c_cols), 1)
+                   % w < kv_heads)
 
     def body(i, carry):
-        ms, ls, accs = carry               # [G, Hkv], [G, Hkv], tuple of [1, F]
+        ms, ls, accs = carry        # [1, C], [1, C], tuple of q_rows [1, F]
         j = j0 + i
         slot = jax.lax.rem(i, 2)
 
@@ -241,120 +277,60 @@ def _decode_kernel(starts_ref, ends_ref, tables_ref, layer_ref, q_ref,
 
         k_dma(slot, j).wait()
         v_dma(slot, j).wait()
-        k = k_buf[slot].astype(jnp.float32)          # [block, F]
-        v = v_buf[slot].astype(jnp.float32)
+        k16 = k_buf[slot].astype(jnp.bfloat16)       # [block, F] (int8 exact)
+        v32 = v_buf[slot].astype(jnp.float32)
         if int8:
             ks_dma(slot, j).wait()
             vs_dma(slot, j).wait()
-            ks = ks_buf[slot].astype(jnp.float32)    # [block, W]
-            vs = vs_buf[slot].astype(jnp.float32)
+            ks16 = ks_buf[slot].astype(jnp.bfloat16)   # [block, W]
+            vs32 = vs_buf[slot].astype(jnp.float32)
 
-        pos = j * block + jax.lax.broadcasted_iota(jnp.int32, (block, w), 0)
-        head_ok = jax.lax.broadcasted_iota(jnp.int32, (block, w), 1) < kv_heads
-        valid = (pos >= start) & head_ok & (pos < end)   # [block, W]
-
-        new_ms, new_ls, new_accs = [], [], []
-        for g in range(q_groups):
-            m_new, l, acc = flash_update(
-                ms[g:g + 1], ls[g:g + 1], accs[g], k, v,
-                ks if int8 else None, vs if int8 else None,
-                valid, q[g:g + 1])
-            new_ms.append(m_new)
-            new_ls.append(l)
-            new_accs.append(acc)
-        return (jnp.concatenate(new_ms, 0), jnp.concatenate(new_ls, 0),
-                tuple(new_accs))
-
-    def body_multi(i, carry):
-        """Multi-query tile body.  VMEM discipline (the q_len == 1 body
-        unrolled over window rows blows the ~16 MB scoped budget at 13B
-        geometry — 19.9/24.1 MB measured on-chip): (a) the per-row flash
-        update runs in a fori_loop with matmul one-hot row selection, so
-        ONE set of [cc, F] fp32 temporaries exists regardless of q_len;
-        (b) compute sub-chunks the DMA'd tile at ``cc <= 32`` rows so
-        those temporaries stay ~0.65 MB at F=5120.  Row state lives in
-        stacked carries (ms/ls [R, W], accs [R, F])."""
-        ms, ls, accs = carry
-        j = j0 + i
-        slot = jax.lax.rem(i, 2)
-
-        @pl.when(j + 1 < j1)
-        def _():
-            start_tile(jax.lax.rem(i + 1, 2), j + 1)
-
-        k_dma(slot, j).wait()
-        v_dma(slot, j).wait()
+        s = dot16(k16, q_mat) * scale                # [block, C] f32
         if int8:
-            ks_dma(slot, j).wait()
-            vs_dma(slot, j).wait()
+            # k scales factor out of the per-head dots; selection matmul
+            # places each bf16 scale exactly
+            ks_rep = dot16(ks16, tile16) if q_rows > 1 else \
+                ks16.astype(jnp.float32)
+            s = s * ks_rep
 
-        cc = min(block, 32)
-        for c0 in range(0, block, cc):
-            kc = k_buf[slot, c0:c0 + cc].astype(jnp.float32)   # [cc, F]
-            vc = v_buf[slot, c0:c0 + cc].astype(jnp.float32)
-            ksc = ks_buf[slot, c0:c0 + cc].astype(jnp.float32) if int8 \
-                else None
-            vsc = vs_buf[slot, c0:c0 + cc].astype(jnp.float32) if int8 \
-                else None
-            pos = (j * block + c0
-                   + jax.lax.broadcasted_iota(jnp.int32, (cc, w), 0))
-            head_ok = (jax.lax.broadcasted_iota(jnp.int32, (cc, w), 1)
-                       < kv_heads)
-            base_ok = (pos >= start) & head_ok               # [cc, W]
+        pos = j * block + jax.lax.broadcasted_iota(
+            jnp.int32, (block, c_cols), 0)
+        # multi-query stair: window query slot qi attends [start, end+qi),
+        # clamped to the logical cache length
+        e_c = end + col_qi
+        if q_len > 1 and s_limit:
+            e_c = jnp.minimum(e_c, s_limit)
+        valid = (pos >= start) & col_head_ok & (pos < e_c)   # [block, C]
+        s = jnp.where(valid, s, NEG_INF)
 
-            def qbody(r, st, base_ok=base_ok, pos=pos, kc=kc, vc=vc,
-                      ksc=ksc, vsc=vsc):
-                ms, ls, accs = st
-                # one-hot row selection via MXU — exact (0/1 weights pick
-                # a single f32 element per output lane), and it avoids
-                # dynamic sublane slicing, which Mosaic restricts
-                onehot = (jax.lax.broadcasted_iota(
-                    jnp.int32, (1, q_rows), 1) == r).astype(jnp.float32)
-                sel = lambda mat: jax.lax.dot_general(
-                    onehot, mat, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)
-                # multi-query stair: window row r = query slot r//G of
-                # group r%G, attending [start, end + r//G)
-                e_i = end + r // q_groups
-                if s_limit:
-                    e_i = jnp.minimum(e_i, s_limit)
-                valid = base_ok & (pos < e_i)
-                m_new, l, acc = flash_update(
-                    sel(ms), sel(ls), sel(accs), kc, vc, ksc, vsc,
-                    valid, sel(qf))
-                rmask_w = (jax.lax.broadcasted_iota(
-                    jnp.int32, (q_rows, w), 0) == r)
-                rmask_f = (jax.lax.broadcasted_iota(
-                    jnp.int32, (q_rows, f), 0) == r)
-                ms = jnp.where(rmask_w, jnp.broadcast_to(m_new, ms.shape),
-                               ms)
-                ls = jnp.where(rmask_w, jnp.broadcast_to(l, ls.shape), ls)
-                accs = jnp.where(rmask_f, jnp.broadcast_to(acc, accs.shape),
-                                 accs)
-                return ms, ls, accs
+        m_new = jnp.maximum(ms, jnp.max(s, axis=0, keepdims=True))
+        # explicit guard: a fully-masked tile keeps m_new == NEG_INF and
+        # exp(NEG_INF - NEG_INF) would be 1 — zero it instead
+        p = jnp.where(valid, jnp.exp(s - m_new), 0.0)        # [block, C]
+        alpha = jnp.where(ms == NEG_INF, 0.0, jnp.exp(ms - m_new))
+        ls = ls * alpha + jnp.sum(p, axis=0, keepdims=True)
 
-            ms, ls, accs = jax.lax.fori_loop(0, q_rows, qbody,
-                                             (ms, ls, accs))
-        return ms, ls, accs
+        new_accs = []
+        for r in range(q_rows):
+            p_r = p[:, r * w:(r + 1) * w]            # static aligned slice
+            if int8:
+                p_r = p_r * vs32                     # v scales fold into p
+            # broadcast per-head weights back to lanes (bf16 p: <= 2^-9
+            # relative on post-softmax weights), weight v, sum over block
+            p_brd = dot16(p_r.astype(jnp.bfloat16), expm16)
+            pv = jnp.sum(p_brd * v32, axis=0, keepdims=True)
+            a_brd = dot32(alpha[:, r * w:(r + 1) * w], expm32)
+            new_accs.append(accs[r] * a_brd + pv)    # [1, F]
+        return m_new, ls, tuple(new_accs)
 
-    if q_len == 1:
-        init = (jnp.full((q_rows, w), NEG_INF, jnp.float32),
-                jnp.zeros((q_rows, w), jnp.float32),
-                tuple(jnp.zeros((1, f), jnp.float32) for _ in range(q_rows)))
-        ms, ls, accs = jax.lax.fori_loop(0, j1 - j0, body, init)
-        accs = list(accs)
-    else:
-        qf = q                      # [q_rows, F], pre-scaled fp32
-        init = (jnp.full((q_rows, w), NEG_INF, jnp.float32),
-                jnp.zeros((q_rows, w), jnp.float32),
-                jnp.zeros((q_rows, f), jnp.float32))
-        ms, ls, accs = jax.lax.fori_loop(0, j1 - j0, body_multi, init)
-        accs = [accs[r:r + 1] for r in range(q_rows)]
+    init = (jnp.full((1, c_cols), NEG_INF, jnp.float32),
+            jnp.zeros((1, c_cols), jnp.float32),
+            tuple(jnp.zeros((1, f), jnp.float32) for _ in range(q_rows)))
+    ms, ls, accs = jax.lax.fori_loop(0, j1 - j0, body, init)
 
-    inv_l = 1.0 / jnp.maximum(ls, 1e-30)             # [q_rows, W]
+    inv_l = 1.0 / jnp.maximum(ls, 1e-30)             # [1, C]
     for r in range(q_rows):
-        out = accs[r] * seg_dot(inv_l[r:r + 1], expm)
+        out = accs[r] * dot32(inv_l[:, r * w:(r + 1) * w], expm32)
         o_ref[0, r] = out[0].astype(o_ref.dtype)
 
 
@@ -463,13 +439,15 @@ def ragged_decode_attention(
         hkv_pad=hkv_pad, q_groups=groups, paged=paged, int8=int8,
         stacked=stacked, q_len=q_len, s_limit=s_limit)
 
-    # q regrouped OUTSIDE to [B, q_len*G, Hkv*D]: group g's slice
-    # lane-matches the flat cache rows (head h of group g lives at lanes
-    # [h*D, (h+1)*D)) — the kernel then runs rank-2 segmented ops only.
+    # q regrouped OUTSIDE to [B, Hkv*D, q_len*G] (transposed): row r of the
+    # window covers all heads in the flat cache lane layout (head h of
+    # group g lives at lanes [h*D, (h+1)*D)); the kernel builds its scatter
+    # matrix Q [F, C] from this qT with constant selector matmuls only.
     # q is tiny, so this transpose costs nothing per step.
     q_rows = q_len * groups
     qg = q.reshape(b, q_len, kv_heads, groups, d
                    ).transpose(0, 1, 3, 2, 4).reshape(b, q_rows, f)
+    qt = qg.transpose(0, 2, 1)                       # [B, F, q_rows]
 
     sdtype = k_scale.dtype if int8 else jnp.float32
     scratch = [
@@ -483,7 +461,7 @@ def ragged_decode_attention(
         num_scalar_prefetch=4,          # starts, ends, tables, layer
         grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, q_rows, f), lambda i, *_: (i, 0, 0)),  # q
+            pl.BlockSpec((1, f, q_rows), lambda i, *_: (i, 0, 0)),  # qT
             pl.BlockSpec(memory_space=pl.ANY),                  # k cache
             pl.BlockSpec(memory_space=pl.ANY),                  # v cache
             pl.BlockSpec(memory_space=pl.ANY),                  # k scales
@@ -494,23 +472,21 @@ def ragged_decode_attention(
     )
     ks = k_scale if int8 else jnp.zeros((1, 1, 1), jnp.float32)
     vs = v_scale if int8 else jnp.zeros((1, 1, 1), jnp.float32)
-    # multi-query mode: body_multi's fori_loop + sub-chunking bound the
-    # stack, but at 13B geometry (F=5120) the selector constants + fp32
-    # chunk temporaries still sit just above the 16 MB DEFAULT scoped-vmem
-    # budget (16.82 MB measured on v5e) — raise the scoped limit toward
-    # the 128 MiB physical VMEM for this mode only; the validated
-    # single-query config keeps the default pipeline/stack split.
-    cparams = dict(dimension_semantics=("arbitrary",))
-    if q_len > 1:
-        cparams["vmem_limit_bytes"] = 64 * 1024 * 1024
+    # the kernel's stack peaks around Q [F, C] bf16 plus per-row [block, F]
+    # f32 value temporaries — ~15 MB at 13B single-query and ~45 MB at the
+    # w=16 window, above the 16 MB DEFAULT scoped-vmem budget (the v5e has
+    # 128 MiB physical VMEM); our large operands are manual-DMA'd (ANY
+    # memspace), so raising the scoped limit costs the pipeline nothing
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, q_rows, f), q.dtype),
-        compiler_params=pltpu.CompilerParams(**cparams),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(starts.astype(jnp.int32), ends.astype(jnp.int32), tables, layer_arr,
-      qg, k_cache, v_cache, ks, vs)
+      qt, k_cache, v_cache, ks, vs)
     out = out.reshape(b, q_len, groups, kv_heads, d
                       ).transpose(0, 1, 3, 2, 4).reshape(b, q_len, hq, d)
     return out if multi else out[:, 0]

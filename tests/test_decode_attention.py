@@ -1,4 +1,15 @@
-"""ragged_decode_attention vs the XLA attention path (exactness oracle)."""
+"""ragged_decode_attention vs the XLA attention path (numerics oracle).
+
+Tolerance contract (kernel v3, bf16-operand MXU): the kernel computes with
+single-pass bf16 operands and f32 MXU accumulation.  For PRODUCTION data
+(bf16 or int8 caches, bf16 q, bf16 scales) the score products are exact;
+the only rounding is the post-softmax weight broadcast (p cast to bf16,
+<= 2^-9 relative) — pinned tightly by test_bf16_data_value_rounding_bound.
+These oracle tests feed fp32 inputs for convenience, which the kernel
+rounds to bf16 on entry (another <= 2^-9 relative on q/k/v/scales), so
+they assert ~1e-2 absolute (2^-9 x the randn |v| range) — the bf16
+representation level — not fp32 exactness.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -43,7 +54,7 @@ def test_matches_xla_windows(starts, ends):
                                   kv_heads=hkv)
     want = _ref(q, k, v, st, en)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=1e-2, rtol=5e-2)
 
 
 def test_gqa_grouped_heads():
@@ -56,7 +67,7 @@ def test_gqa_grouped_heads():
                                   kv_heads=hkv)
     want = _ref(q, k, v, st, en)   # dot_product_attention repeats kv heads
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=1e-2, rtol=5e-2)
 
 
 def test_int8_cache_with_scales():
@@ -74,7 +85,7 @@ def test_int8_cache_with_scales():
     vd = (vq.astype(jnp.float32) * vsc).astype(jnp.float32)
     want = _ref(q, kd, vd, st, en)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=1e-2, rtol=5e-2)
 
 
 def test_bf16_cache_fp32_accumulation():
@@ -120,7 +131,7 @@ def test_paged_pool_matches_dense():
         block=block)
     want = _ref(q, k, v, st, en)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=1e-2, rtol=5e-2)
 
 
 def test_stacked_layer_cache():
@@ -144,7 +155,7 @@ def test_stacked_layer_cache():
         got = run(jnp.int32(li))
         want = _ref(qs[1], ks_[li], vs_[li], st, en)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5, rtol=2e-5)
+                                   atol=1e-2, rtol=5e-2)
 
 
 def test_stacked_int8_layer_cache():
@@ -169,7 +180,7 @@ def test_stacked_int8_layer_cache():
     vd = (vq1.astype(jnp.float32) * vs1)
     want = _ref(q, kd, vd, st, en)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=1e-2, rtol=5e-2)
 
 
 def test_paged_stacked_pool():
@@ -204,7 +215,7 @@ def test_paged_stacked_pool():
             layer=jnp.int32(li), kv_heads=hkv, block=block)
         want = _ref(q, kk, vv, st, en)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5, rtol=2e-5)
+                                   atol=1e-2, rtol=5e-2)
 
 
 def test_odd_cache_length_picks_divisor_block():
@@ -218,7 +229,7 @@ def test_odd_cache_length_picks_divisor_block():
                                   kv_heads=hkv)
     want = _ref(q, k, v, st, en)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=2e-5, rtol=2e-5)
+                               atol=1e-2, rtol=5e-2)
 
 
 def test_multi_query_window_stair():
@@ -245,7 +256,7 @@ def test_multi_query_window_stair():
                                     causal=False, impl="xla")[:, 0]
         np.testing.assert_allclose(np.asarray(out[:, i], np.float32),
                                    np.asarray(ref, np.float32),
-                                   atol=2e-5, rtol=1e-4)
+                                   atol=1e-2, rtol=2e-2)
 
 
 def test_multi_query_int8_gqa_stacked():
@@ -286,4 +297,29 @@ def test_multi_query_int8_gqa_stacked():
                                     impl="xla")[:, 0]
         np.testing.assert_allclose(np.asarray(out[:, i], np.float32),
                                    np.asarray(ref, np.float32),
-                                   atol=5e-3, rtol=1e-2)
+                                   atol=1e-2, rtol=2e-2)
+
+
+def test_bf16_data_value_rounding_bound():
+    """The v3 tight contract on PRODUCTION-representative data: with bf16
+    q/k/v (exact bf16 operands, f32 MXU accumulation) the only kernel
+    rounding is the post-softmax weight broadcast (p cast to bf16), so the
+    output must sit within ~2^-9 relative of an oracle that does the same
+    math in f32 on the SAME bf16 values."""
+    q, k, v = _rand(b=3, s=64, hq=4, hkv=4, d=32, dtype=jnp.bfloat16,
+                    seed=7)
+    b, s, hkv, d = k.shape
+    st = jnp.asarray([0, 5, 17], jnp.int32)
+    en = jnp.asarray([64, 40, 18], jnp.int32)
+    got = ragged_decode_attention(q, k.reshape(b, s, -1),
+                                  v.reshape(b, s, -1), st, en,
+                                  kv_heads=hkv)
+    # oracle in f32 over the identical bf16 values
+    want = _ref(q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), st, en)
+    got32 = np.asarray(got, np.float32)
+    want32 = np.asarray(want, np.float32)
+    vmax = float(np.abs(np.asarray(v, np.float32)).max())
+    # p rounding (2^-9, weights sum to 1) + output bf16 cast (2^-8)
+    bound = vmax * (2.0 ** -9) + np.abs(want32) * (2.0 ** -8) + 1e-6
+    assert (np.abs(got32 - want32) <= bound).all()

@@ -113,11 +113,10 @@ def test_fused_mid_flight_submit(rt):
     _assert_same(out[r2], ref2)
 
 
-def test_fused_stacked_int4_mixed_step(rt, monkeypatch):
-    """The fused mixed step through the stacked-int4 decode loop
-    (models/decode_stacked.py seq>1 branch, interpret-mode kernels off-TPU,
-    int8 KV): token parity vs the same quantized model running the legacy
-    bucket-prefill engine."""
+def _int4_rt(rt, monkeypatch, **llm_kw):
+    """rt clone with int4-quantized llm params on a stacked-decode config —
+    the engine dispatches these through the PACKED fused step
+    (decode_stacked.decode_layers_packed; interpret-mode kernels off-TPU)."""
     import dataclasses
     import types
 
@@ -128,7 +127,7 @@ def test_fused_stacked_int4_mixed_step(rt, monkeypatch):
     monkeypatch.setattr(i4, "FORCE_KERNEL", True)
     llm4 = dataclasses.replace(
         rt.agent_cfg.llm, quantization="int4", kv_quantization="int8",
-        stacked_decode="force", remat=False)
+        stacked_decode="force", remat=False, **llm_kw)
     agent_cfg = dataclasses.replace(rt.agent_cfg, llm=llm4)
     model = ContinuousLVLM(agent_cfg)
     from flax import linen as nn
@@ -137,8 +136,17 @@ def test_fused_stacked_int4_mixed_step(rt, monkeypatch):
     params["llm"] = jax.tree.map(jnp.asarray, quantize_llama_params(
         jax.tree.map(np.asarray, nn.meta.unbox(rt.agent_params["llm"])),
         mode="int4"))
-    rt4 = types.SimpleNamespace(agent=model, agent_params=params,
-                                agent_cfg=agent_cfg, tokenizer=rt.tokenizer)
+    return types.SimpleNamespace(agent=model, agent_params=params,
+                                 agent_cfg=agent_cfg, tokenizer=rt.tokenizer)
+
+
+def test_fused_stacked_int4_mixed_step(rt, monkeypatch):
+    """The PACKED fused step through the stacked-int4 decode loop
+    (models/decode_stacked.py decode_layers_packed, interpret-mode kernels
+    off-TPU, int8 KV, XLA window attention): token parity vs the same
+    quantized model running the legacy bucket-prefill engine."""
+    rt4 = _int4_rt(rt, monkeypatch)
+    assert ContinuousEngine(rt4, slots=2, prompt_buckets=(64,))._packed
 
     reqs = [_text_request(rt4, "hello there"),
             _text_request(rt4, "one two three")]
@@ -147,6 +155,69 @@ def test_fused_stacked_int4_mixed_step(rt, monkeypatch):
     fused = _run(rt4, reqs, budgets, fused_prefill=True, prefill_width=4)
     for f, l in zip(fused, legacy):
         _assert_same(f, l)
+
+
+def test_packed_dense_ragged_matches_legacy(rt, monkeypatch):
+    """Packed fused step with the RAGGED multi-query kernel forced
+    (decode_attention='force', interpret mode): the packed q scatter into
+    the [slots, window] stair layout and the per-token KV writes must
+    reproduce the legacy engine token-for-token."""
+    rt4 = _int4_rt(rt, monkeypatch, decode_attention="force")
+    reqs = [_text_request(rt4, "a windy day on the bay"),
+            _text_request(rt4, "short")]
+    budgets = [5, 4]
+    legacy = _run(rt4, reqs, budgets, fused_prefill=False)
+    fused = _run(rt4, reqs, budgets, fused_prefill=True, prefill_width=4)
+    for f, l in zip(fused, legacy):
+        _assert_same(f, l)
+
+
+def test_packed_budget_contention(rt, monkeypatch):
+    """Several rows prefilling at once share the per-step chunk budget
+    greedily in row order; the host's _prefill_remaining replay must stay
+    in LOCKSTEP with the device allocation (a divergence strands a row
+    mid-prompt in the pure-decode program and corrupts its output).
+
+    Asserted directly: after every chunk, the host mirror must equal the
+    device's ``p_len - p_pos`` per slot.  (Token-chain comparison against
+    the windowed layout is deliberately NOT used here: the random debug
+    model produces top-2 logit gaps down to 0 — measured — so argmax
+    chains flip on ties between layouts; token parity packed-vs-legacy is
+    pinned by the other tests at tie-free prompts.)"""
+    rt4 = _int4_rt(rt, monkeypatch)
+    reqs = [_text_request(rt4, "one two three four five six seven eight"),
+            _text_request(rt4, "the quick brown fox jumps over the dog"),
+            _text_request(rt4, "tiny")]
+    budgets = [4, 4, 6]
+
+    for w in (2, 4):
+        # all three admitted together on 3 slots with a w-token/step
+        # budget: rows 0+1 contend, row 2 starves until 0 finishes
+        eng = ContinuousEngine(rt4, slots=3, max_new_tokens=8,
+                               chunk_steps=3, prompt_buckets=(64,),
+                               fused_prefill=True, prefill_width=w)
+        ids = [eng.submit(dict(r), max_new_tokens=b)
+               for r, b in zip(reqs, budgets)]
+        saw_contention = False
+        for _ in range(64):
+            eng.step()
+            dev_rem = (np.asarray(eng.state["p_len"])
+                       - np.asarray(eng.state["p_pos"]))
+            live = [i for i, rid in enumerate(eng._slot_req)
+                    if rid is not None]
+            host = [eng._prefill_remaining[i] for i in live]
+            assert host == [max(0, int(dev_rem[i])) for i in live], \
+                (w, host, dev_rem)
+            saw_contention |= sum(r > 0 for r in host) >= 2
+            if len(eng._results) == 3:
+                break
+        assert saw_contention
+        results = eng.run()
+        assert eng._prefill_remaining == [0] * 3
+        # every request completed with its full budget (no EOS in the
+        # debug vocab path) and produced sane token counts
+        for rid, b in zip(ids, budgets):
+            assert len(results[rid]["tokens"]) == b
 
 
 def test_ragged_window_write_drops_oob():

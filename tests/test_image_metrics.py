@@ -133,3 +133,69 @@ def test_solver_image_space_accuracy():
     assert p_d24 > p_e30 - 0.3, (p_d24, p_e30)
     # step-count sanity on the euler ladder itself
     assert p_e30 > p_e15 + 2.0, (p_e30, p_e15)
+
+
+@pytest.mark.slow
+def test_edit_solver_image_space_accuracy():
+    """The r3 t2i study (above), repeated for the EDIT probability-flow ODE:
+    3-way InstructPix2Pix CFG (reference assembly [prompt, negative,
+    negative], condition latents channel-concat into an 8-ch conv_in).
+
+    Measured on this stack (scratch/edit_solver_study.py, 6 seeds, PSNR vs
+    euler-200-karras truth of the same ODE): dpm-24 matches or beats
+    euler-30 on 5/6 seeds (worst -0.22 dB, mean +0.34) — the SAME
+    quality-match config the t2i study validated.  dpm-20/-22 sit 1.0-2.4
+    dB BELOW euler-30 on every seed: further step reduction for the edit
+    turn is an honest negative, so the measured 5.38 s dpm-24 single-chip
+    edit turn stands as the best validated single-chip number (the <5 s
+    north star needs the v5e-8 slice).  This test pins one seed of that
+    study (seed 42; margins are deterministic given the key)."""
+    import jax
+    import jax.numpy as jnp
+
+    from seedx_tpu.models.sdxl.pipeline import (SamplerConfig,
+                                                default_time_ids,
+                                                denoise_edit,
+                                                prepare_latents)
+    from seedx_tpu.models.sdxl.scheduler import make_schedule
+    from seedx_tpu.models.sdxl.unet import UNet2DCondition, sdxl_debug_unet
+    from seedx_tpu.models.sdxl.vae import VAEDecoder, vae_debug
+
+    ucfg = sdxl_debug_unet(in_channels=8)
+    unet = UNet2DCondition(ucfg)
+    b, hw = 1, 16
+    ctx = jax.random.normal(jax.random.PRNGKey(1),
+                            (b, 4, ucfg.cross_attention_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(2), (b, 64))
+    tids = default_time_ids(SamplerConfig(), b)
+    params = unet.init(jax.random.PRNGKey(0), jnp.zeros((b, hw, hw, 8)),
+                       jnp.array([1.0]), ctx, pooled, tids)["params"]
+    vcfg = vae_debug()
+    vae = VAEDecoder(vcfg)
+    vae_params = vae.init(jax.random.PRNGKey(5),
+                          jnp.zeros((b, hw, hw, 4)))["params"]
+    img_lat = jax.random.normal(jax.random.PRNGKey(9), (b, hw, hw, 4))
+
+    def run(solver, steps, karras=None):
+        scfg = SamplerConfig(height=hw * 8, width=hw * 8,
+                             num_inference_steps=steps, solver=solver)
+        schedule = make_schedule(steps, solver=solver, karras=karras)
+        latents = prepare_latents(jax.random.PRNGKey(42), b, scfg, schedule)
+        lat = denoise_edit(unet, params, schedule, latents, img_lat, ctx,
+                           ctx * 0, pooled, pooled * 0, tids)
+        img = vae.apply({"params": vae_params}, lat / vcfg.scaling_factor)
+        return np.clip(np.asarray(img, np.float32)[0], 0, 1)
+
+    truth = run("euler", 200, karras=True)
+    p_e15 = psnr(truth, run("euler", 15, karras=True))
+    p_e30 = psnr(truth, run("euler", 30, karras=True))
+    p_d20 = psnr(truth, run("dpmpp_2m", 20))
+    p_d24 = psnr(truth, run("dpmpp_2m", 24))
+
+    # the validated edit quality-match (measured +1.22 dB at this key)
+    assert p_d24 > p_e30 - 0.3, (p_d24, p_e30)
+    # the honest negative: dpm-20 does NOT reach euler-30 on the edit ODE
+    # (measured -1.22 dB here, -1.0..-2.4 across seeds)
+    assert p_d20 < p_e30 - 0.5, (p_d20, p_e30)
+    # step-count sanity (measured +4.7 dB here)
+    assert p_e30 > p_e15 + 3.0, (p_e30, p_e15)

@@ -135,3 +135,53 @@ def test_pipeline_denoise_tiny():
                              ctx, ctx * 0, pooled, pooled * 0, tids)
     assert out.shape == latents.shape
     assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_edit_cfg_branch_assembly():
+    """Pin the 3-way InstructPix2Pix CFG contract of denoise_edit against
+    the reference assembly (pipeline_stable_diffusion_xl_t2i_edit.py:
+    883-885 ``cat([prompt, negative, negative])``, :546 condition latents
+    ``cat([img, img, zeros])``, :935-937 combination): a stub UNet records
+    what each branch is fed and returns branch-constant eps, so one euler
+    step checks both the batch assembly and the CFG algebra.  Regression:
+    the image branch must get the NEGATIVE prompt (r4 fix — it wrongly
+    received the prompt, collapsing the guidance_scale term)."""
+    from seedx_tpu.models.sdxl.pipeline import denoise_edit
+
+    b, hw = 1, 4
+    prompt = jnp.full((b, 2, 8), 3.0)
+    negative = jnp.full((b, 2, 8), 5.0)
+    pooled = jnp.full((b, 16), 7.0)
+    neg_pooled = jnp.full((b, 16), 11.0)
+    tids = jnp.zeros((b, 6))
+    img_lat = jnp.full((b, hw, hw, 4), 2.0)
+    latents = jnp.zeros((b, hw, hw, 4))
+
+    class StubUNet:
+        def apply(self, variables, scaled, t, context, pooled_all, tids_in):
+            # eps encodes exactly what each branch was fed: prompt context
+            # (vs negative), condition channels (vs zeros), pooled row —
+            # so the final value pins the whole batch assembly without
+            # capturing tracers
+            is_prompt = jnp.all(context == 3.0, axis=(1, 2))
+            has_cond = jnp.all(scaled[..., 4:] == 2.0, axis=(1, 2, 3))
+            val = (jnp.where(is_prompt, 100.0, 0.0)
+                   + jnp.where(has_cond, 10.0, 0.0)
+                   + pooled_all[:, 0])
+            return val[:, None, None, None] * jnp.ones_like(scaled[..., :4])
+
+    schedule = make_schedule(1)
+    g, gi = 7.5, 1.5
+    out = denoise_edit(StubUNet(), {}, schedule, latents, img_lat, prompt,
+                       negative, pooled, neg_pooled, tids,
+                       guidance_scale=g, image_guidance_scale=gi)
+
+    # reference batch assembly: context [prompt, negative, negative],
+    # pooled [pooled, neg_pooled, neg_pooled], cond channels [img, img, 0]
+    # -> eps branches: text 100+10+7=117, image 0+10+11=21, uncond 0+0+11=11
+    # (the r4 bug read 117/117/11 — the g term collapsed); one euler step
+    # from sigma_0 to 0 gives x0 = -sigma_0 * eps_cfg with latents == 0
+    eps_cfg = 11.0 + g * (117.0 - 21.0) + gi * (21.0 - 11.0)
+    sigma0 = float(schedule.sigmas[0])
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               -sigma0 * eps_cfg, rtol=1e-5)
