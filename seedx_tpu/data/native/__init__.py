@@ -34,14 +34,26 @@ def _load() -> Optional[ctypes.CDLL]:
     if not os.path.exists(_LIB) or \
             os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
         os.makedirs(os.path.dirname(_LIB), exist_ok=True)
+        # Build to a per-process temp name and os.replace() it in: g++ -o
+        # writes in place, and two processes building concurrently (e.g. a
+        # CPU pytest run next to a TPU bench) let one dlopen a half-written
+        # file ("file too short").  rename is atomic on POSIX, so loaders
+        # only ever see a complete old or complete new library.
+        tmp = f"{_LIB}.{os.getpid()}.tmp"
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
-               _SRC, "-o", _LIB]
+               _SRC, "-o", tmp]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
-        except (subprocess.CalledProcessError, FileNotFoundError) as e:
+            os.replace(tmp, _LIB)
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                OSError) as e:
             logger.warning("native reader build failed (%s); using the "
                            "python tar reader", getattr(e, "stderr", e))
             _build_failed = True
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             return None
     lib = ctypes.CDLL(_LIB)
     lib.sx_tar_open.restype = ctypes.c_void_p
