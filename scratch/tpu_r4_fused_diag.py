@@ -87,9 +87,13 @@ def main():
                            prefill_width=8)
     print(f"packed={eng._packed} layers={NUM_LAYERS}", flush=True)
     eng.warmup()
-    # 8 requests, 120-token prompts
+    # 8 requests, 240-token prompts: the timed "mixed, 8 prefilling"
+    # window (warmup + 3 chunks x 32 steps x width 8 = up to 1024 packed
+    # prompt tokens) must stay inside the prefill phase, so supply
+    # 8 x 240 = 1920 prompt tokens (ADVICE r4: 120-token prompts ran dry
+    # mid-window, diluting the measurement with post-prefill steps).
     for i in range(8):
-        p = 120
+        p = 240
         eng.submit({"input_ids": [1] + list(rng.randint(3, 30000, p)),
                     "image_embeds": None}, max_new_tokens=1024)
     eng._admit_pending()

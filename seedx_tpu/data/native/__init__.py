@@ -39,6 +39,14 @@ def _load() -> Optional[ctypes.CDLL]:
         # CPU pytest run next to a TPU bench) let one dlopen a half-written
         # file ("file too short").  rename is atomic on POSIX, so loaders
         # only ever see a complete old or complete new library.
+        # Sweep .tmp orphans from processes killed mid-build (e.g. a
+        # session script's `timeout`): they are never reused, only leak.
+        import glob
+        for stale in glob.glob(f"{_LIB}.*.tmp"):
+            try:
+                os.unlink(stale)
+            except OSError:
+                pass
         tmp = f"{_LIB}.{os.getpid()}.tmp"
         cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-std=c++17",
                _SRC, "-o", tmp]
@@ -47,14 +55,23 @@ def _load() -> Optional[ctypes.CDLL]:
             os.replace(tmp, _LIB)
         except (subprocess.CalledProcessError, FileNotFoundError,
                 OSError) as e:
-            logger.warning("native reader build failed (%s); using the "
-                           "python tar reader", getattr(e, "stderr", e))
-            _build_failed = True
             try:
                 os.unlink(tmp)
             except OSError:
                 pass
-            return None
+            if os.path.exists(_LIB):
+                # A complete (merely stale) library already exists — a
+                # failed rebuild/replace shouldn't discard a working
+                # native path; dlopen the old one instead.
+                logger.warning("native reader rebuild failed (%s); "
+                               "loading the existing stale library",
+                               getattr(e, "stderr", e))
+            else:
+                logger.warning("native reader build failed (%s); using "
+                               "the python tar reader",
+                               getattr(e, "stderr", e))
+                _build_failed = True
+                return None
     lib = ctypes.CDLL(_LIB)
     lib.sx_tar_open.restype = ctypes.c_void_p
     lib.sx_tar_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
