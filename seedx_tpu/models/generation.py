@@ -203,8 +203,20 @@ def generate_tokens(
     gen_cfg: GenerationConfig,
     vocab: MultimodalVocab = DEFAULT_VOCAB,
     prompt_ids: Optional[jnp.ndarray] = None,   # [B, P], enables spec decode
+    script_ids: Optional[jnp.ndarray] = None,   # [T] int32, see below
 ):
     """Returns dict with tokens [B, T], hidden [B, T, D], finished [B, T].
+
+    ``script_ids`` (greedy B=1 only) pins the emitted stream to a given
+    token script by biasing the logits at DECISION time (same max+10
+    absolute forcing as the image-token constrainer): every forward —
+    prefill, decode steps, spec verify — still runs the real model at full
+    cost, but argmax at output position i becomes ``script_ids[i]``.  This
+    exists for workload benchmarking: n-gram spec-decode acceptance is a
+    pure function of the token stream, so replaying a realistic transcript
+    through the REAL engine measures the adaptive gate's on-chip
+    throughput without released weights (scratch/spec_acceptance_study.py
+    is the model-free simulation this validates).
 
     Decode is a ``lax.while_loop`` (not a fixed-trip scan) with three
     upgrades over the reference's HF loop (seed_x.py:184-189):
@@ -268,6 +280,25 @@ def generate_tokens(
         [jnp.arange(vocab.img_token_start, vocab.img_token_start + n_img),
          jnp.asarray([vocab.eoi])]).astype(jnp.int32)      # [n_img + 1]
 
+    if script_ids is not None:
+        if b != 1:
+            raise ValueError("script_ids forcing is a greedy B=1 feature")
+        _script = script_ids.astype(jnp.int32)
+
+        def _force_script(logits2d, pos_out):
+            """Force argmax of logits2d [R, V] to the script token at each
+            output-stream position pos_out [R] (positions >= t untouched —
+            they are never emitted; spec write_idx drops them)."""
+            tokw = _script[jnp.clip(pos_out, 0, t - 1)]
+            v = logits2d.shape[-1]
+            win = jnp.max(logits2d, axis=-1, keepdims=True) + 10.0
+            forced = jnp.where(jax.nn.one_hot(tokw, v, dtype=bool), win,
+                               jnp.asarray(-1e9, logits2d.dtype))
+            return jnp.where((pos_out < t)[:, None], forced, logits2d)
+    else:
+        def _force_script(logits2d, pos_out):
+            return logits2d
+
     if spec_k:
         # token history for n-gram lookup: prompt at [0, p), generated token
         # i at p + i; -1 marks pad/unwritten slots (never matches a draft)
@@ -293,6 +324,7 @@ def generate_tokens(
         rng, sub = jax.random.split(rng)
         constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
                                              n_img)
+        constrained = _force_script(constrained, jnp.full((b,), n))
         token = _sample(constrained, sub, gen_cfg)
         token = jnp.where(finished, gen_cfg.pad_token_id, token)
         new_finished = finished | (token == gen_cfg.eos_token_id)
@@ -353,6 +385,7 @@ def generate_tokens(
         k = spec_k
         constrained = constrain_image_tokens(prev_token, prev_logits, vocab,
                                              n_img)
+        constrained = _force_script(constrained, jnp.asarray(n)[None])
         token0 = jnp.argmax(constrained, axis=-1).astype(jnp.int32)   # [1]
         drafts = _ngram_draft(hist, p + n, token0[0], k, gen_cfg.spec_ngram)
         v = jnp.concatenate([token0, drafts])                # [k+1]
@@ -364,8 +397,12 @@ def generate_tokens(
             p + n, method="llm_step")
         logits_v = logits_v.astype(jnp.float32)
         # the exact token AFTER each verify position, under the constrainer
+        # (verify position i sits at output position n + i, so its NEXT
+        # token is script position n + 1 + i under forcing)
         exp_next = jnp.argmax(
-            constrain_image_tokens(v, logits_v[0], vocab, n_img),
+            _force_script(constrain_image_tokens(v, logits_v[0], vocab,
+                                                 n_img),
+                          n + 1 + jnp.arange(k + 1)),
             axis=-1).astype(jnp.int32)                       # [k+1]
         # accept drafts while they match and no stopper was emitted: eos
         # ends the sequence, <img> hands over to the forced-span chunk

@@ -240,3 +240,105 @@ def test_spec_adaptive_keeps_speculating_when_accepting(tiny_agent):
     assert list(got["tokens"]) == list(want["tokens"])
     assert got["spec_rounds"] > 2
     assert 0 <= got["spec_accepted"] <= 4 * got["spec_rounds"]
+
+
+# ---- script forcing (workload-replay benches) -----------------------------
+
+def _run_script(model, variables, tok, prompt_ids, script, gen_cfg):
+    """Drive generate_tokens directly with script forcing (B=1)."""
+    from seedx_tpu.models.generation import generate_tokens
+
+    pad = 128 - len(prompt_ids)
+    ids_p = jnp.asarray([[tok.pad_token_id] * pad + prompt_ids])
+    mask = jnp.asarray([[False] * pad + [True] * len(prompt_ids)])
+    embeds = model.apply(variables, ids_p, method="embed_ids")
+    last = jnp.asarray([prompt_ids[-1]], jnp.int32)
+    return generate_tokens(model, variables, embeds, mask, last,
+                           jax.random.PRNGKey(0), gen_cfg, tok.vocab,
+                           prompt_ids=ids_p,
+                           script_ids=jnp.asarray(script, jnp.int32))
+
+
+def test_script_forcing_emits_script_plain(tiny_agent):
+    """spec_k=0: the emitted stream IS the script, token for token."""
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    ids = [tok.bos_token_id] + tok.encode("describe the scene")
+    script = tok.encode("a quick brown fox jumps over the lazy dog today")
+    cfg = GenerationConfig(max_new_tokens=len(script), num_img_gen_tokens=4,
+                           prompt_buckets=(128,))
+    out = _run_script(model, variables, tok, ids, script, cfg)
+    assert list(np.asarray(out["tokens"])[0]) == list(script)
+
+
+def _replay_acceptance(prompt_ids, script, k=4, ngram=3, bucket=128):
+    """Offline replay of always-on spec acceptance over a scripted stream
+    (the model-free ground truth the engine must reproduce exactly)."""
+    p, t = bucket, len(script)
+    hist = np.full((p + t,), -1, np.int64)
+    hist[p - len(prompt_ids):p] = prompt_ids
+    n = rounds = accepted = 0
+    while n < t:
+        drafts = np.asarray(_ngram_draft(
+            jnp.asarray(hist, jnp.int32), p + n, jnp.int32(script[n]),
+            k, ngram))
+        a = 0
+        while (a < k and n + 1 + a < t
+               and drafts[a] == script[n + 1 + a]):
+            a += 1
+        hist[p + n:p + n + a + 1] = script[n:n + a + 1]
+        n += a + 1
+        rounds, accepted = rounds + 1, accepted + a
+    return rounds, accepted
+
+
+def test_script_forcing_spec_emits_script_and_accepts_echo(tiny_agent):
+    """spec_k=4 on an echoing script: emission is still exactly the script,
+    and the engine's (rounds, accepted) counters match the offline
+    acceptance replay EXACTLY — the chip workload bench rests on this
+    equivalence (forcing makes the random-weight model 'emit' the workload
+    stream while every verify forward stays real)."""
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    phrase = "the subscription renewals in the enterprise segment grew. "
+    ids = [tok.bos_token_id] + tok.encode("[INST] " + phrase + "[/INST]")
+    assert len(ids) <= 128
+    script = tok.encode(phrase * 2)
+    cfg = GenerationConfig(max_new_tokens=len(script), num_img_gen_tokens=4,
+                           prompt_buckets=(128,), spec_k=4,
+                           spec_adaptive=False)
+    out = _run_script(model, variables, tok, ids, script, cfg)
+    assert list(np.asarray(out["tokens"])[0]) == list(script)
+    rounds, accepted = _replay_acceptance(ids, script)
+    assert int(out["spec_rounds"]) == rounds
+    assert int(out["spec_accepted"]) == accepted
+    assert accepted >= int(0.5 * len(script))   # echo accepts richly
+
+    # the adaptive gate on the same stream: still script-exact; the probe
+    # window at the novel script head gates off once (designed reprobe
+    # behavior), so acceptance is below always-on but well above zero
+    cfg_ad = GenerationConfig(max_new_tokens=len(script),
+                              num_img_gen_tokens=4, prompt_buckets=(128,),
+                              spec_k=4, spec_adaptive=True, spec_reprobe=12)
+    out_ad = _run_script(model, variables, tok, ids, script, cfg_ad)
+    assert list(np.asarray(out_ad["tokens"])[0]) == list(script)
+    assert int(out_ad["spec_accepted"]) > 0
+
+
+def test_script_forcing_spec_gates_off_on_adversarial(tiny_agent):
+    """Unique never-repeating script: drafting never matches, the windowed
+    gate shuts speculation off after the probe window (plus bounded
+    re-probes), and the emission is still exactly the script."""
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    ids = [tok.bos_token_id] + tok.encode("list codes")
+    script = tok.encode(" ".join(f"zq{i}" for i in range(14)))[:40]
+    cfg = GenerationConfig(max_new_tokens=len(script), num_img_gen_tokens=4,
+                           prompt_buckets=(128,), spec_k=4,
+                           spec_adaptive=True, spec_probe_rounds=4,
+                           spec_reprobe=48)
+    out = _run_script(model, variables, tok, ids, script, cfg)
+    assert list(np.asarray(out["tokens"])[0]) == list(script)
+    assert int(out["spec_accepted"]) == 0
+    # probe(4) + at most one re-probe window inside 40 steps
+    assert int(out["spec_rounds"]) <= 8
