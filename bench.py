@@ -1420,7 +1420,7 @@ def _run_metric(args):
             decode_attention=args.decode_attn,
             fused_prefill=fused,
             prefill_width=args.prefill_width), args.repeats)
-        fused_on = fused if fused is not None else not args.paged
+        fused_on = fused if fused is not None else False
         tag = "_fused" if fused_on else ""
         print(json.dumps({
             "metric": (f"llama13b_int4_serve_paged_{slots}slot{tag}"

@@ -28,4 +28,10 @@ run 1200 python bench.py --metric serve_continuous --paged --fused on --requests
 run 1200 python bench.py --metric serve_continuous --paged --fused off --requests 96 --repeats 1
 run 1500 python bench.py --metric serve_mixed --solver dpmpp_2m --repeats 1
 run 1800 python bench.py --metric e2e_edit --repeats 1
+# 7. adaptive spec-decode gate MEASURED on chip (VERDICT r4 item 5):
+#    best case (doc_qa quoting), a markup case (grounding), and the
+#    bounded-loss case (story) — plain vs adaptive vs always-on.
+run 1200 python bench.py --metric spec_workload --workload doc_qa
+run 1200 python bench.py --metric spec_workload --workload grounding
+run 1200 python bench.py --metric spec_workload --workload story
 echo "ALL DONE $(date)" >> "$LOG"

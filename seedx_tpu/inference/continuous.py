@@ -439,7 +439,8 @@ class ContinuousEngine:
         slot count.  Requires the int4 stacked decode path with ragged
         attention (models/decode_stacked.py paged mode).
 
-        ``fused_prefill`` (default: on for dense, opt-in for paged)
+        ``fused_prefill`` (default: OFF — the r5 single-chip A/B measured
+        it at 0.4x the legacy engine's throughput; see __init__)
         interleaves prompt prefill into the decode chunks
         ``prefill_width`` tokens per row per step instead of stalling all
         slots on bucket prefills — see the module docstring.  Paged mode
@@ -472,9 +473,15 @@ class ContinuousEngine:
         self._s_max = s_max
         self.paged = paged
         if fused_prefill is None:
-            # dense default; paged opts in explicitly (its fused path is
-            # parity-tested but the TPU A/B evidence is dense-first)
-            fused_prefill = not paged
+            # Default OFF: the r5 chip A/B measured packed fused dense at
+            # 114-119 tok/s (@32/@96 requests; width-16: 75) vs 293.6 for
+            # the legacy stall-on-prefill engine, and paged fused at 86.9
+            # vs 241.6 non-fused, in the same rolling-admission window.
+            # Sarathi-style admission smoothing loses to the extra
+            # [slots, 1+w] projection work on one chip at this geometry;
+            # fused stays available via fused_prefill=True for multi-chip
+            # latency-SLA serving where admission stalls dominate.
+            fused_prefill = False
         self.fused = fused_prefill
         self.prefill_width = prefill_width
         # PACKED fused layout whenever the stacked-int4 decode loop will
