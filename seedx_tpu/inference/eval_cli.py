@@ -54,10 +54,16 @@ def _load_runtime(args):
 
     if args.debug or os.environ.get("SEEDX_DEBUG") in ("1", "True"):
         return SeedXRuntime.debug(with_adapter=True)
+    if getattr(args, "ckpt_root", None):
+        return SeedXRuntime.from_pretrained(
+            root=args.ckpt_root, model=args.model,
+            quantization=getattr(args, "quantization", "none"))
     raise SystemExit(
-        "non-debug runtime requires converted checkpoints; pass --debug or "
-        "set SEEDX_DEBUG=1, or construct SeedXRuntime from "
-        "seedx_tpu.models.factory builders with pretrained paths")
+        "non-debug runtime requires the release checkpoints: pass "
+        "--ckpt_root pretrained (reference README.md:74-87 layout) for "
+        "real weights, or --debug / SEEDX_DEBUG=1 for the tiny random "
+        "stack; power users can also assemble SeedXRuntime directly from "
+        "seedx_tpu.models.factory builders")
 
 
 def main(argv=None):
@@ -107,6 +113,18 @@ def main(argv=None):
                         "of the reference's golden-demo QA "
                         "(vis/men_recon.jpg etc.); BASELINE.md pins "
                         "recon LPIPS <= 0.05")
+    p.add_argument("--ckpt_root", metavar="DIR",
+                   help="release checkpoint root (the reference README's "
+                        "./pretrained layout) — builds the REAL-weight "
+                        "runtime via SeedXRuntime.from_pretrained with "
+                        "manifest validation; see --model")
+    p.add_argument("--model", default="seed_x_i",
+                   choices=["seed_x", "seed_x_i", "seed_x_edit"],
+                   help="which released model under --ckpt_root")
+    p.add_argument("--quantization", default="none",
+                   choices=["none", "int8", "int4"],
+                   help="--ckpt_root: LLM weight quantization (int4 = the "
+                        "benchmarked single-chip serving config)")
     p.add_argument("--debug", action="store_true")
     args = p.parse_args(argv)
 

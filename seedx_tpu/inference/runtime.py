@@ -78,21 +78,28 @@ class SeedXRuntime:
         quantization: str = "none",
         vit_quantization: str = "none",          # "int8" = serving co-residency
         unet_quantization: str = "none",         # "int8" = serving co-residency
+        validate: bool = False,                  # manifest-check before convert
     ) -> "SeedXRuntime":
         """Assemble the full runtime from converted release artifacts
         (the four checkpoints a SEED-X user has on disk; reference
         README.md:74-158 + eval script setup eval_img2text_seed_x_i.py:66-117).
+
+        ``validate=True`` checks every loaded state dict against the pinned
+        release manifests (utils/manifest.py) and fails with a key/shape
+        diff BEFORE conversion — the first-try-success guard for the day
+        the released 17B artifacts are on disk.
         """
         from seedx_tpu.models.factory import (build_agent, build_llm_config,
                                               build_sdxl_adapter,
                                               build_visual_encoder)
 
-        vit, vit_params = build_visual_encoder(pretrained_model_path=vit_path)
+        vit, vit_params = build_visual_encoder(pretrained_model_path=vit_path,
+                                               validate=validate)
         llm_cfg = build_llm_config(lora_rank=lora_rank,
                                    quantization=quantization)
         agent, agent_params = build_agent(
             llm_cfg, pretrained_llm_path=llm_path,
-            pretrained_agent_path=agent_path)
+            pretrained_agent_path=agent_path, validate=validate)
 
         adapter = None
         if sdxl_unet_path or detokenizer_path:
@@ -101,7 +108,8 @@ class SeedXRuntime:
                 sdxl_unet_path=sdxl_unet_path,
                 sdxl_vae_path=sdxl_vae_path,
                 with_latent_image=with_latent_image,
-                visual_encoder=vit, visual_encoder_params=vit_params)
+                visual_encoder=vit, visual_encoder_params=vit_params,
+                validate=validate)
 
         rt = cls(tokenizer=load_tokenizer(tokenizer_path),
                  vit_cfg=vit.cfg, vit=vit, vit_params=vit_params,
@@ -112,6 +120,80 @@ class SeedXRuntime:
         if unet_quantization == "int8" and adapter is not None:
             adapter.quantize_unet()
         return rt
+
+    # The released artifact layout under ``pretrained/`` (reference
+    # README.md:74-87 + configs/clm_models/*_seed_x*.yaml paths).
+    RELEASE_MODELS = ("seed_x", "seed_x_i", "seed_x_edit")
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        root: str = "pretrained",
+        model: str = "seed_x_i",
+        with_adapter: bool = True,
+        validate: bool = True,
+        **kw,
+    ) -> "SeedXRuntime":
+        """One-call constructor over the release checkpoint layout.
+
+        Maps the directory structure the reference README tells users to
+        create (README.md:74-87; config paths agent_seed_x_i.yaml:23,
+        llm_seed_x_i.yaml:2, qwen_vitg_448.yaml:11,
+        sdxl_qwen_vit_resampler_l4_q64*.yaml) onto ``from_checkpoints``:
+
+            <root>/QwenViT/qwen_vit_G.pt
+            <root>/<model>/llm/                  (HF shards dir)
+            <root>/<model>/agent/pytorch_model.bin
+            <root>/seed_detokenizer/first_stage/pytorch_model.bin
+                                   (second_stage for the edit variant)
+            <root>/stable-diffusion-xl-base-1.0/{unet,vae}/
+
+        ``model`` is one of ``seed_x`` (foundation), ``seed_x_i``
+        (instruct), ``seed_x_edit`` (editing — switches on the
+        latent-image UNet + second-stage detokenizer).  Missing optional
+        pieces (detokenizer/SDXL when ``with_adapter=False``) are skipped;
+        a missing REQUIRED piece raises FileNotFoundError listing what the
+        README says to download.  ``validate=True`` (default here, unlike
+        ``from_checkpoints``) manifest-checks every artifact first.
+        """
+        import os
+
+        if model not in cls.RELEASE_MODELS:
+            raise ValueError(f"model must be one of {cls.RELEASE_MODELS}, "
+                             f"got {model!r}")
+        edit = model == "seed_x_edit"
+        vit_path = os.path.join(root, "QwenViT", "qwen_vit_G.pt")
+        llm_path = os.path.join(root, model, "llm")
+        agent_path = os.path.join(root, model, "agent", "pytorch_model.bin")
+        stage = "second_stage" if edit else "first_stage"
+        detok_path = os.path.join(root, "seed_detokenizer", stage,
+                                  "pytorch_model.bin")
+        sdxl = os.path.join(root, "stable-diffusion-xl-base-1.0")
+        unet_path, vae_path = (os.path.join(sdxl, "unet"),
+                               os.path.join(sdxl, "vae"))
+
+        required = {"QwenViT visual encoder (run the reference's "
+                    "src/tools/reload_qwen_vit.py)": vit_path,
+                    f"{model} LLM shards": llm_path,
+                    f"{model} agent checkpoint": agent_path}
+        if with_adapter:
+            required.update({
+                f"seed_detokenizer {stage}": detok_path,
+                "SDXL base UNet": unet_path, "SDXL base VAE": vae_path})
+        missing = {what: p for what, p in required.items()
+                   if not os.path.exists(p)}
+        if missing:
+            raise FileNotFoundError(
+                "missing release artifacts under "
+                f"{root!r} (download per reference README.md:74-87):\n"
+                + "\n".join(f"  {p}  <- {what}"
+                            for what, p in missing.items()))
+        return cls.from_checkpoints(
+            vit_path=vit_path, llm_path=llm_path, agent_path=agent_path,
+            detokenizer_path=detok_path if with_adapter else None,
+            sdxl_unet_path=unet_path if with_adapter else None,
+            sdxl_vae_path=vae_path if with_adapter else None,
+            with_latent_image=edit, validate=validate, **kw)
 
     @classmethod
     def debug(cls, seed: int = 0, with_adapter: bool = False,

@@ -57,6 +57,23 @@ def _merge_loaded(init_params: Any, loaded: Any, label: str) -> Any:
     return traverse_util.unflatten_dict(merged, sep="/")
 
 
+def _validate_sd(sd, manifest_name: str, strict: bool,
+                 extra_optional=()) -> None:
+    """Check a loaded torch state dict against the pinned release manifest
+    (utils/manifest.py): log the diff; raise when ``strict`` (the golden
+    readiness harness) so a wrong artifact fails before conversion."""
+    from seedx_tpu.utils.manifest import validate_state_dict
+
+    rep = validate_state_dict(sd, manifest_name,
+                              extra_optional=extra_optional)
+    if rep.ok:
+        logger.info(rep.summary())
+    elif strict:
+        raise ValueError(rep.summary())
+    else:
+        logger.warning(rep.summary())
+
+
 def build_visual_encoder(
     pretrained_model_path: Optional[str] = None,
     image_size: int = 448,
@@ -68,6 +85,7 @@ def build_visual_encoder(
     output_dim: int = 4096,
     remat: bool = True,
     param_dtype: str = "float32",
+    validate: bool = False,
     **unused,
 ) -> Tuple[Any, Any]:
     """(reference: VisionTransformerWithAttnPool.from_pretrained,
@@ -93,9 +111,10 @@ def build_visual_encoder(
         from flax import linen as nn
 
         from seedx_tpu.utils.weights import (convert_qwen_vit,
-                                             load_torch_checkpoint)
+                                             load_checkpoint_auto)
 
-        sd = load_torch_checkpoint(pretrained_model_path)
+        sd = load_checkpoint_auto(pretrained_model_path)
+        _validate_sd(sd, "qwen_vit", strict=validate)
         loaded = convert_qwen_vit(sd, num_layers=cfg.layers)
         shapes = nn.meta.unbox(params)
         params = _merge_loaded(
@@ -163,6 +182,7 @@ def build_agent(
     vit_dim: int = 4096,
     num_img_in_tokens: int = 64,
     num_img_out_tokens: int = 64,
+    validate: bool = False,
     **unused,
 ) -> Tuple[Any, Any]:
     """(reference: ContinuousLVLM.from_pretrained, seed_x.py:225-234 +
@@ -189,16 +209,18 @@ def build_agent(
         params = jax.tree.map(lambda x: jnp.zeros(x.shape, x.dtype), shapes)
         from seedx_tpu.utils.weights import (convert_agent_checkpoint,
                                              convert_llama_hf,
-                                             load_torch_checkpoint)
+                                             load_checkpoint_auto)
 
         if pretrained_llm_path:
-            sd = load_torch_checkpoint(pretrained_llm_path)
+            sd = load_checkpoint_auto(pretrained_llm_path)
+            _validate_sd(sd, "llm", strict=validate)
             llm_params = convert_llama_hf(sd, num_layers=llm.num_layers,
                                           vocab_size=llm.vocab_size,
                                           pad_to=llm.padded_vocab_size)
             params = _merge_loaded(params, {"llm": llm_params}, "llm")
         if pretrained_agent_path:
-            sd = load_torch_checkpoint(pretrained_agent_path)
+            sd = load_checkpoint_auto(pretrained_agent_path)
+            _validate_sd(sd, "agent", strict=validate)
             agent_parts = convert_agent_checkpoint(sd)
             llm_sd = agent_parts.pop("llm_state_dict", None)
             params = _merge_loaded(params, agent_parts, "agent")
@@ -223,6 +245,7 @@ def build_sdxl_adapter(
     vit_down: bool = True,
     visual_encoder: Any = None,
     visual_encoder_params: Any = None,
+    validate: bool = False,
     **unused,                                 # full_ft etc. are train-time
 ) -> Any:
     """Config-graph target mirroring the reference's
@@ -241,9 +264,10 @@ def build_sdxl_adapter(
     from seedx_tpu.models.sdxl.unet import sdxl_base_unet, sdxl_edit_unet
     from seedx_tpu.models.sdxl.vae import VAEConfig
     from seedx_tpu.utils.sdxl_weights import (convert_sdxl_unet,
+                                              convert_sdxl_unet_deltas,
                                               convert_sdxl_vae)
     from seedx_tpu.utils.weights import (convert_detokenizer_resampler,
-                                         load_torch_checkpoint)
+                                         load_checkpoint_auto)
 
     if resampler is None:
         rcfg = DetokenizerConfig()
@@ -257,28 +281,49 @@ def build_sdxl_adapter(
     unet_params = resampler_params = None
     dec_params = enc_params = None
     if sdxl_unet_path:
-        sd = load_torch_checkpoint(sdxl_unet_path)
+        sd = load_checkpoint_auto(sdxl_unet_path)
+        _validate_sd(sd, "sdxl_unet", strict=validate)
         unet_params = convert_sdxl_unet(
             sd, widen_conv_in_to=8 if with_latent_image else None)
     if sdxl_vae_path:
-        sd = load_torch_checkpoint(sdxl_vae_path)
+        sd = load_checkpoint_auto(sdxl_vae_path)
+        _validate_sd(sd, "sdxl_vae", strict=validate)
         vae = convert_sdxl_vae(sd)
         enc_params, dec_params = vae["encoder"], vae["decoder"]
     if detokenizer_path:
-        sd = load_torch_checkpoint(detokenizer_path)
+        sd = load_checkpoint_auto(detokenizer_path)
+        _validate_sd(sd, "detokenizer", strict=validate,
+                     extra_optional=("unet.*",))
         resampler_params = convert_detokenizer_resampler(sd)
-        # detokenizer ckpts may carry UNet deltas (full FT / to_k,to_v)
+        # detokenizer ckpts may carry UNet weights: either the FULL
+        # fine-tuned UNet (Edit variant, full_ft=True — conv_in already
+        # 8-channel) or just the trainable cross-attn to_k/to_v deltas
+        # (reference adapter_modules.py:21-33, loaded strict=False :62-65)
         unet_sd = {k[len("unet."):]: v for k, v in sd.items()
                    if k.startswith("unet.")}
         if unet_sd and unet_params is not None:
             from flax import traverse_util
 
-            deltas = convert_sdxl_unet(
-                unet_sd, widen_conv_in_to=None) if any(
-                    k.startswith("conv_in") for k in unet_sd) else None
+            if any(k.startswith("conv_in") for k in unet_sd):
+                deltas = convert_sdxl_unet(unet_sd, widen_conv_in_to=None)
+            else:
+                parted = convert_sdxl_unet_deltas(unet_sd)
+                deltas = parted["deltas"]
+                if parted["skipped"]:
+                    logger.warning(
+                        "detokenizer UNet deltas: %d keys not "
+                        "attention linears, dropped: %s ...",
+                        len(parted["skipped"]), parted["skipped"][:5])
             if deltas:
                 flat = traverse_util.flatten_dict(unet_params, sep="/")
-                flat.update(traverse_util.flatten_dict(deltas, sep="/"))
+                delta_flat = traverse_util.flatten_dict(deltas, sep="/")
+                stray = [k for k in delta_flat if k not in flat]
+                if stray:
+                    logger.warning("detokenizer UNet deltas: %d keys not in "
+                                   "the UNet tree, dropped: %s ...",
+                                   len(stray), stray[:5])
+                flat.update({k: v for k, v in delta_flat.items()
+                             if k in flat})
                 unet_params = traverse_util.unflatten_dict(flat, sep="/")
 
     acfg = AdapterConfig(unet=ucfg, resampler=rcfg, vit_down=vit_down,

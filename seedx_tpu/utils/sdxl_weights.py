@@ -152,6 +152,57 @@ def convert_sdxl_unet(
     return out
 
 
+def _map_attn_key(key: str) -> Optional[tuple]:
+    """One diffusers transformer-attention param key -> flax param path.
+
+    Handles the subset the detokenizer stage checkpoints may carry as
+    DELTAS without a full UNet (the trainable cross-attn to_k/to_v set,
+    reference adapter_modules.py:21-33 — and, symmetrically, any other
+    attn1/attn2 linear).  Returns a tuple path or None if the key is not a
+    transformer-attention linear."""
+    import re
+
+    m = re.fullmatch(
+        r"(down_blocks\.(\d+)|mid_block|up_blocks\.(\d+))"
+        r"\.attentions\.(\d+)\.transformer_blocks\.(\d+)"
+        r"\.(attn[12])\.(to_q|to_k|to_v|to_out\.0)\.(weight|bias)", key)
+    if not m:
+        return None
+    blk, down_i, up_i, attn_j, tblock, attn, proj, kind = m.groups()
+    if blk == "mid_block":
+        top = "mid_attn"
+    elif down_i is not None:
+        top = f"down_{down_i}_attn_{attn_j}"
+    else:
+        top = f"up_{up_i}_attn_{attn_j}"
+    proj = "to_out" if proj == "to_out.0" else proj
+    leaf = "kernel" if kind == "weight" else "bias"
+    return (top, f"block_{tblock}", attn, proj, leaf)
+
+
+def convert_sdxl_unet_deltas(sd: Mapping[str, Any]) -> Dict:
+    """PARTIAL UNet state dict (e.g. only the trainable attn2 to_k/to_v
+    from a detokenizer stage checkpoint) -> nested delta tree to overlay on
+    full converted UNet params.  The reference achieves this with
+    ``load_state_dict(ckpt, strict=False)`` (adapter_modules.py:62-65);
+    keys that aren't transformer-attention linears are returned in the
+    second element so callers can decide whether dropping them is an error.
+    """
+    out: Dict[str, Any] = {}
+    skipped = []
+    for key, val in sd.items():
+        path = _map_attn_key(key)
+        if path is None:
+            skipped.append(key)
+            continue
+        node = out
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        arr = _np(val)
+        node[path[-1]] = arr.T if path[-1] == "kernel" else arr
+    return {"deltas": out, "skipped": skipped}
+
+
 def _vae_attention(sd, p):
     """Handles both old (query/key/value/proj_attn) and new (to_q/..) names."""
     if f"{p}.to_q.weight" in sd:

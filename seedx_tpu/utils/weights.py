@@ -56,6 +56,59 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     return {k: _np(v) for k, v in sd.items()}
 
 
+# Single-file names HF/diffusers exporters use, in probe order.
+_SINGLE_FILE_NAMES = (
+    "model.safetensors", "pytorch_model.bin",
+    "diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin",
+)
+_INDEX_NAMES = ("model.safetensors.index.json",
+                "pytorch_model.bin.index.json",
+                "diffusion_pytorch_model.safetensors.index.json")
+
+
+def load_checkpoint_auto(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint FILE or a HF-layout DIRECTORY to numpy.
+
+    Directories are how the release artifacts ship (reference
+    README.md:74-87): ``pretrained/seed_x*/llm`` is an HF save_pretrained
+    dir (index JSON + weight shards), ``stable-diffusion-xl-base-1.0/unet``
+    a diffusers dir (single weights file).  Probe order: index JSON
+    (sharded) -> known single-file names -> any lone .safetensors/.bin.
+    """
+    import os
+
+    if not os.path.isdir(path):
+        return load_torch_checkpoint(path)
+    for idx_name in _INDEX_NAMES:
+        idx_path = os.path.join(path, idx_name)
+        if os.path.exists(idx_path):
+            import json
+
+            with open(idx_path) as f:
+                weight_map = json.load(f)["weight_map"]
+            out: Dict[str, np.ndarray] = {}
+            for shard in sorted(set(weight_map.values())):
+                out.update(load_torch_checkpoint(os.path.join(path, shard)))
+            return out
+    for fname in _SINGLE_FILE_NAMES:
+        fpath = os.path.join(path, fname)
+        if os.path.exists(fpath):
+            return load_torch_checkpoint(fpath)
+    lone = [f for f in sorted(os.listdir(path))
+            if f.endswith((".safetensors", ".bin", ".pt"))]
+    if len(lone) == 1:
+        return load_torch_checkpoint(os.path.join(path, lone[0]))
+    if len(lone) > 1:   # index-less shard dump: merge in name order
+        out = {}
+        for f in lone:
+            out.update(load_torch_checkpoint(os.path.join(path, f)))
+        return out
+    raise FileNotFoundError(
+        f"no weight files found under checkpoint directory {path!r} "
+        f"(looked for {_INDEX_NAMES + _SINGLE_FILE_NAMES} and lone "
+        f".safetensors/.bin/.pt files)")
+
+
 def _linear(sd, key):
     """torch Linear weight -> flax kernel."""
     return _np(sd[key]).T
