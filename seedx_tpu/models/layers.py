@@ -98,12 +98,26 @@ class LoRADense(nn.Module):
     lora_dropout: float = 0.0
     quantize: str = "none"            # "none" | "int8" | "int8_full" | "int4"
     quantize_group: int = 128         # int4 group size along the in dim
+    # IA3 (reference vendored fork proj/peft/src/peft/tuners/ia3.py):
+    # a learned elementwise rescaling vector, ones-init so the delta
+    # starts at identity.  "out" multiplies the layer OUTPUT (the fork's
+    # k_proj/v_proj targets: (x@W) * l); "in" multiplies the layer INPUT
+    # (the fork's feedforward_modules semantics: down_proj sees the
+    # rescaled intermediate activation).  Composes with quantize;
+    # typically used with lora_rank=0.
+    ia3: Optional[str] = None         # None | "out" | "in"
     dtype: Any = jnp.bfloat16
     param_dtype: Any = jnp.float32
     kernel_init: Initializer = default_init
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.ia3 == "in":
+            scale_in = self.param(
+                "ia3_scale",
+                _part(nn.initializers.ones_init(), (self.kernel_axes[0],)),
+                (x.shape[-1],), self.param_dtype)
+            x = x * scale_in.astype(x.dtype)
         if self.quantize == "int4":
             # Nibble-packed block pairs + group scales (layout documented at
             # utils/quantize.quantize_kernel_int4).  Weight HBM traffic is
@@ -177,6 +191,12 @@ class LoRADense(nn.Module):
                 lora_b.astype(self.dtype),
             )
             y = y + scale * delta
+        if self.ia3 == "out":
+            ia3_scale = self.param(
+                "ia3_scale",
+                _part(nn.initializers.ones_init(), (self.kernel_axes[1],)),
+                (self.features,), self.param_dtype)
+            y = y * ia3_scale.astype(y.dtype)
         if self.use_bias:
             bias = self.param(
                 "bias",

@@ -49,6 +49,13 @@ class LlamaConfig:
     lora_rank: int = 0
     lora_alpha: float = 32.0
     lora_dropout: float = 0.05
+    # IA3 tuning (the reference's vendored PEFT fork ships it as an
+    # alternative tuner, proj/peft/src/peft/tuners/ia3.py; no SEED-X flow
+    # uses it, provided for fork parity): ones-init rescaling vectors on
+    # the fork's llama target set — k_proj/v_proj outputs and the
+    # down_proj input (feedforward_modules semantics).  Train with
+    # trainable_patterns=(r".*ia3_scale$", ...).
+    ia3: bool = False
     # "none" | "int8" (projection weights) | "int8_full" (also the embedding
     # table + lm_head — frees another ~330M of a 16G chip for batched decode)
     # | "int4" (nibble-packed projections with group scales, embedding +
@@ -197,12 +204,18 @@ class LlamaBlock(nn.Module):
         cfg = self.cfg
         b, s, _ = x.shape
 
+        # IA3 target set = the PEFT fork's llama defaults: k/v outputs,
+        # down_proj input (ia3.py feedforward_modules)
+        _ia3 = {"k_proj": "out", "v_proj": "out", "down_proj": "in"} \
+            if cfg.ia3 else {}
+
         def dense(name, features, in_axis, out_axis):
             return LoRADense(
                 features, kernel_axes=(in_axis, out_axis), use_bias=False,
                 lora_rank=cfg.lora_rank, lora_alpha=cfg.lora_alpha,
                 lora_dropout=cfg.lora_dropout, quantize=cfg.quantization,
-                dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name)
+                ia3=_ia3.get(name), dtype=cfg.dtype,
+                param_dtype=cfg.param_dtype, name=name)
 
         h = RMSNorm(epsilon=cfg.rms_eps, dtype=cfg.dtype,
                     param_dtype=cfg.param_dtype, name="input_layernorm")(x)
