@@ -43,6 +43,21 @@ import jax  # noqa: E402
 # update still wins as long as no backend has been initialised yet.
 if not _TPU_TIER:
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the smoke tier's wall-clock is dominated
+    # by XLA:CPU compiles of the scan+remat models (35 min on a 1-core box);
+    # with the cache warm the same programs deserialize in ms.  Keyed by HLO
+    # fingerprint, so code changes recompile exactly what changed.  Disable
+    # with SEEDX_TEST_CACHE=0 (or point it elsewhere with a path).
+    # (Loading spews benign cpu_aot_loader E-logs about the
+    # +prefer-no-scatter/+prefer-no-gather pseudo-features missing from the
+    # host probe — compiler preferences, not ISA bits; pytest captures them.)
+    _cache = os.environ.get("SEEDX_TEST_CACHE", os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_test_cache"))
+    if _cache not in ("0", "off"):
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 import jax.numpy as jnp  # noqa: E402
 import pytest  # noqa: E402
 
