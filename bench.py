@@ -367,7 +367,7 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                        n_img: int = 64, denoise_steps: int = 30,
                        vit_tiles: int = 5, num_layers: int = 40,
                        solver: str = "euler", phase_times: bool = False,
-                       edit: bool = False):
+                       edit: bool = False, image_cfg: float = 1.5):
     """ONE process, every model family resident in HBM at serving
     quantization — ViT-bigG int8 (1.9G) + 13B LLM int4/int8-KV (~7G) +
     SDXL UNet int8 (2.6G) + detok resampler + VAE fp32 — running a full
@@ -537,7 +537,7 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                                ctx.astype(jnp.bfloat16), ctx * 0,
                                pooled.astype(jnp.bfloat16), pooled * 0,
                                tids,
-                               image_guidance_scale=scfg.image_guidance_scale)
+                               image_guidance_scale=image_cfg)
             img = vae.apply({"params": p_vae}, lat / vae_cfg.scaling_factor)
             return jnp.sum(img.astype(jnp.float32))
     else:
@@ -1284,6 +1284,11 @@ def main():
                         "UNet eval; dpmpp_2m needs ~half the steps)")
     p.add_argument("--steps", type=int, default=10,
                    help="sdxl_denoise step count")
+    p.add_argument("--image-cfg", type=float, default=1.5,
+                   help="e2e_edit image_guidance_scale (reference default "
+                        "1.5 = x3 CFG batch; exactly 1.0 collapses the "
+                        "uncond branch algebraically -> x2 batch, the "
+                        "opt-in fast edit path)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="wrap the metric in a jax.profiler trace written to "
                         "DIR (parse plugins/profile/*/vm.trace.json.gz — "
@@ -1398,16 +1403,19 @@ def _run_metric(args):
             }))
             return
         value = min(bench_e2e_resident(denoise_steps=steps,
-                                       solver=args.solver, edit=True)
+                                       solver=args.solver, edit=True,
+                                       image_cfg=args.image_cfg)
                     for _ in range(args.repeats))
         import gc
         gc.collect()
+        nway = "2-way (gi=1.0 collapse)" if args.image_cfg == 1.0 else "3-way"
         print(json.dumps({
             "metric": "e2e_edit_turn_resident_single_chip"
                       + {"dpmpp_2m": "_dpmpp",
-                         "dpmpp_3m": "_dpmpp3"}.get(args.solver, ""),
+                         "dpmpp_3m": "_dpmpp3"}.get(args.solver, "")
+                      + ("_gi1" if args.image_cfg == 1.0 else ""),
             "value": round(value, 2),
-            "unit": f"seconds (edit: cond VAE encode + 8ch UNet 3-way CFG, "
+            "unit": f"seconds (edit: cond VAE encode + 8ch UNet {nway} CFG, "
                     f"all families in HBM, one device-chained turn, "
                     f"{args.solver}-{steps})",
             "vs_baseline": round(5.0 / value, 2),

@@ -14,7 +14,7 @@ surface, BASELINE.json "Public entry points mirror src/inference"):
 
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -119,10 +119,13 @@ def text_to_image(rt: SeedXRuntime, caption: str, seed: int = 42,
 def edit_image(rt: SeedXRuntime, image, instruction: str, seed: int = 42,
                num_inference_steps: int = 50,
                max_new_tokens: int = 120,
-               solver: str = "euler", spec_k: int = 0) -> Dict[str, Any]:
+               solver: str = "euler", spec_k: int = 0,
+               image_guidance_scale: Optional[float] = None
+               ) -> Dict[str, Any]:
     """Instruction-guided editing (reference: eval_img2edit_seed_x_edit.py):
     source image enters BOTH the LLM (comprehension splice) and the SDXL
-    UNet (condition latents)."""
+    UNet (condition latents).  ``image_guidance_scale=1.0`` selects the
+    algebraically-exact 2-branch CFG fast path (pipeline.denoise_edit)."""
     input_ids, cmp_mask, embeds, ecm, ppos = _prepare_image_prompt(
         rt, image, instruction)
     out = rt.generate(input_ids, image_embeds=embeds, embeds_cmp_mask=ecm,
@@ -139,7 +142,8 @@ def edit_image(rt: SeedXRuntime, image, instruction: str, seed: int = 42,
         images = rt.adapter.generate(out["img_gen_feat"],
                                      latent_image=latent_image, seed=seed,
                                      num_inference_steps=num_inference_steps,
-                                     solver=solver)
+                                     solver=solver,
+                                     image_guidance_scale=image_guidance_scale)
     out["images"] = images
     return out
 

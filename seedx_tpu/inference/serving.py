@@ -46,12 +46,16 @@ class ServingEngine:
 
     def __init__(self, rt: SeedXRuntime, max_batch_size: int = 8,
                  max_new_tokens: int = 512, num_inference_steps: int = 50,
-                 seed: int = 42, tile_buckets: Optional[Any] = None):
+                 seed: int = 42, tile_buckets: Optional[Any] = None,
+                 image_guidance_scale: Optional[float] = None):
         self.rt = rt
         self.max_batch_size = max_batch_size
         self.max_new_tokens = max_new_tokens
         self.num_inference_steps = num_inference_steps
         self.seed = seed
+        # edit-request CFG: None = adapter config default (1.5, reference
+        # parity); exactly 1.0 selects denoise_edit's 2-branch collapse
+        self.image_guidance_scale = image_guidance_scale
         # bound distinct compiled ViT programs across anyres tile counts
         # (runtime.encode_image_anyres pads to the next bucket) — passed as
         # an explicit argument through THIS engine's image prep, so a shared
@@ -172,7 +176,8 @@ class ServingEngine:
             images = self.rt.adapter.generate(
                 jnp.concatenate(feats),
                 latent_image=jnp.concatenate(latents), seed=self.seed,
-                num_inference_steps=self.num_inference_steps)
+                num_inference_steps=self.num_inference_steps,
+                image_guidance_scale=self.image_guidance_scale)
             for owner, img in zip(owners, images):
                 prev = results[owner]["images"]
                 results[owner]["images"] = (

@@ -165,25 +165,47 @@ def denoise_edit(
     conditioning.  Condition latents are channel-concat (text & image
     branches get the condition, uncond gets zeros — reference
     prepare_image_latents :537-546).
+
+    Fast path: at ``image_guidance_scale == 1.0`` the combination is
+    algebraically independent of the uncond branch —
+    ``u + g*(t - i) + 1.0*(i - u) = i + g*(t - i)`` — so the uncond UNet
+    eval (whose output cancels exactly) is dropped and each step runs a
+    x2 batch instead of x3 (the reference runs all three regardless,
+    :905-937).  ``image_guidance_scale`` is a static python float, so the
+    choice is made at trace time; outputs match the 3-branch path to
+    float rounding (tests/test_sdxl.py::test_edit_cfg_collapse_matches_
+    three_branch).
     """
-    context = jnp.concatenate([prompt_embeds, negative_prompt_embeds,
-                               negative_prompt_embeds])
-    pooled_all = jnp.concatenate([pooled, negative_pooled, negative_pooled])
-    tids = jnp.concatenate([time_ids] * 3)
-    cond = jnp.concatenate(
-        [image_latents, image_latents, jnp.zeros_like(image_latents)])
+    collapse = float(image_guidance_scale) == 1.0
+    if collapse:
+        context = jnp.concatenate([prompt_embeds, negative_prompt_embeds])
+        pooled_all = jnp.concatenate([pooled, negative_pooled])
+        tids = jnp.concatenate([time_ids] * 2)
+        cond = jnp.concatenate([image_latents, image_latents])
+    else:
+        context = jnp.concatenate([prompt_embeds, negative_prompt_embeds,
+                                   negative_prompt_embeds])
+        pooled_all = jnp.concatenate([pooled, negative_pooled,
+                                      negative_pooled])
+        tids = jnp.concatenate([time_ids] * 3)
+        cond = jnp.concatenate(
+            [image_latents, image_latents, jnp.zeros_like(image_latents)])
 
     def eps_fn(lat, sigma, t):
-        lat_in = jnp.concatenate([lat] * 3)
+        lat_in = jnp.concatenate([lat] * (2 if collapse else 3))
         scaled = scale_model_input(lat_in, sigma)
         scaled = jnp.concatenate([scaled, cond.astype(scaled.dtype)], axis=-1)
         eps = unet.apply({"params": unet_params}, scaled,
                          jnp.broadcast_to(t, (scaled.shape[0],)),
                          context, pooled_all, tids)
-        eps_text, eps_image, eps_uncond = jnp.split(eps, 3)
-        eps_cfg = (eps_uncond
-                   + guidance_scale * (eps_text - eps_image)
-                   + image_guidance_scale * (eps_image - eps_uncond))
+        if collapse:
+            eps_text, eps_image = jnp.split(eps, 2)
+            eps_cfg = eps_image + guidance_scale * (eps_text - eps_image)
+        else:
+            eps_text, eps_image, eps_uncond = jnp.split(eps, 3)
+            eps_cfg = (eps_uncond
+                       + guidance_scale * (eps_text - eps_image)
+                       + image_guidance_scale * (eps_image - eps_uncond))
         if guidance_rescale > 0.0:
             eps_cfg = rescale_noise_cfg(eps_cfg, eps_text, guidance_rescale)
         return eps_cfg

@@ -185,3 +185,60 @@ def test_edit_cfg_branch_assembly():
     sigma0 = float(schedule.sigmas[0])
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                -sigma0 * eps_cfg, rtol=1e-5)
+
+    # image_guidance_scale == 1.0 collapse: the uncond branch cancels
+    # algebraically (u + g*(t-i) + (i-u) = i + g*(t-i)), so denoise_edit
+    # drops it and runs a x2 batch.  The stub encodes per-branch inputs, so
+    # this also pins the collapsed assembly: [prompt, negative] contexts,
+    # condition channels on BOTH branches -> eps text 117, image 21.
+    out1 = denoise_edit(StubUNet(), {}, schedule, latents, img_lat, prompt,
+                        negative, pooled, neg_pooled, tids,
+                        guidance_scale=g, image_guidance_scale=1.0)
+    eps_collapsed = 21.0 + g * (117.0 - 21.0)
+    np.testing.assert_allclose(np.asarray(out1, np.float32),
+                               -sigma0 * eps_collapsed, rtol=1e-5)
+
+
+def test_edit_cfg_collapse_matches_three_branch():
+    """The x2 collapsed path (image_guidance_scale=1.0) must match the
+    manual 3-branch combination on a real (tiny, 8-channel) UNet: one euler
+    step, manual assembly mirroring the reference batch order."""
+    from seedx_tpu.models.sdxl.pipeline import denoise_edit
+
+    cfg = sdxl_debug_unet(in_channels=8, dtype=jnp.float32)
+    unet = UNet2DCondition(cfg)
+    b, hw = 1, 16
+    lat = jax.random.normal(jax.random.PRNGKey(0), (b, hw, hw, 4))
+    img_lat = jax.random.normal(jax.random.PRNGKey(1), (b, hw, hw, 4))
+    prompt = jax.random.normal(jax.random.PRNGKey(2),
+                               (b, 8, cfg.cross_attention_dim))
+    negative = jax.random.normal(jax.random.PRNGKey(3), prompt.shape)
+    pooled = jax.random.normal(jax.random.PRNGKey(4), (b, 1280))
+    neg_pooled = jax.random.normal(jax.random.PRNGKey(5), pooled.shape)
+    tids = jnp.zeros((b, 6))
+    params = unet.init(jax.random.PRNGKey(6),
+                       jnp.concatenate([lat, img_lat], axis=-1),
+                       jnp.array([1.0]), prompt, pooled, tids)["params"]
+
+    schedule = make_schedule(1)
+    g = 7.5
+    out = denoise_edit(unet, params, schedule, lat, img_lat, prompt,
+                       negative, pooled, neg_pooled, tids,
+                       guidance_scale=g, image_guidance_scale=1.0)
+
+    # manual 3-branch eval at gi=1.0 (reference :905-937 assembly)
+    sigma = jnp.asarray(schedule.sigmas[0])
+    lat3 = scale_model_input(jnp.concatenate([lat] * 3), sigma)
+    cond3 = jnp.concatenate([img_lat, img_lat, jnp.zeros_like(img_lat)])
+    eps = unet.apply(
+        {"params": params}, jnp.concatenate([lat3, cond3], axis=-1),
+        jnp.broadcast_to(schedule.timesteps[0], (3 * b,)),
+        jnp.concatenate([prompt, negative, negative]),
+        jnp.concatenate([pooled, neg_pooled, neg_pooled]),
+        jnp.concatenate([tids] * 3))
+    e_t, e_i, e_u = jnp.split(eps, 3)
+    eps_cfg = e_u + g * (e_t - e_i) + 1.0 * (e_i - e_u)
+    expect = euler_step(lat, eps_cfg, sigma, jnp.asarray(schedule.sigmas[1]))
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(expect, np.float32),
+                               rtol=2e-4, atol=2e-5)
