@@ -440,23 +440,42 @@ def generate_tokens(
     else:
         inner_step = spec_step if spec_k else single_step
 
-    def body(state):
-        if not enable_chunk:
-            return inner_step(state)
-        prev_token, finished, n = state[4], state[5], state[11]
-        do_chunk = (jnp.all((prev_token == vocab.boi) & ~finished)
-                    & (n + n_img + 1 <= t))
-        return jax.lax.cond(do_chunk, chunk_step, inner_step, state)
-
     def cond(state):
         finished, n = state[5], state[11]
         return (n < t) & ~jnp.all(finished)
+
+    def at_chunkable_img(state):
+        prev_token, finished, n = state[4], state[5], state[11]
+        return (jnp.all((prev_token == vocab.boi) & ~finished)
+                & (n + n_img + 1 <= t))
 
     state = (cache, last_logits, last_hidden, last_pos,
              last_prompt_token.astype(jnp.int32), jnp.zeros((b,), bool), rng,
              out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0),
              ((jnp.int32(0),) * 5 + (jnp.bool_(True),)))
-    state = jax.lax.while_loop(cond, body, state)
+    if not enable_chunk:
+        state = jax.lax.while_loop(cond, inner_step, state)
+    else:
+        # NESTED loop: the chunk dispatch must stay OUT of the hot decode
+        # body — a lax.cond(chunk_step | step) per token makes every plain
+        # step ~2.5-10x slower (measured CPU tiny-model AND 13B-on-chip,
+        # scratch/plainloop_probe.py) even when the chunk never fires.  The
+        # inner while runs pure decode/spec steps and exits at a chunkable
+        # <img> boundary; the outer segment loop then runs chunk_step ONCE.
+        # Progress: the inner loop can only exit with (a) cond false ->
+        # outer terminates, or (b) at_chunkable_img -> chunk_step advances
+        # n by n_img + 1.  An <img> WITHOUT room (n + n_img + 1 > t) keeps
+        # at_chunkable_img false, so the inner loop single-steps the forced
+        # ids exactly like the pre-chunk engine.
+        def inner_cond(state):
+            return cond(state) & ~at_chunkable_img(state)
+
+        def segment(state):
+            state = jax.lax.while_loop(inner_cond, inner_step, state)
+            return jax.lax.cond(at_chunkable_img(state) & cond(state),
+                                chunk_step, lambda s: s, state)
+
+        state = jax.lax.while_loop(cond, segment, state)
     return {"tokens": state[7], "hidden": state[8], "finished": state[9],
             "spec_rounds": state[12][0], "spec_accepted": state[12][1]}
 
