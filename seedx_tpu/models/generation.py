@@ -668,24 +668,35 @@ def generate_tokens_cached(
     else:
         inner_step = spec_step if spec_k else single_step
 
-    def body(state):
-        if not enable_chunk:
-            return inner_step(state)
-        prev_token, finished, n = state[4], state[5], state[11]
-        do_chunk = (jnp.all((prev_token == vocab.boi) & ~finished)
-                    & (n + n_img + 1 <= t))
-        return jax.lax.cond(do_chunk, chunk_step, inner_step, state)
-
     def cond(state):
         finished, n = state[5], state[11]
         return (n < t) & ~jnp.all(finished)
+
+    def at_chunkable_img(state):
+        prev_token, finished, n = state[4], state[5], state[11]
+        return (jnp.all((prev_token == vocab.boi) & ~finished)
+                & (n + n_img + 1 <= t))
 
     state = (cache, last_logits, last_hidden, last_pos,
              last_prompt_token.reshape(1).astype(jnp.int32),
              jnp.zeros((1,), bool), rng,
              out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0),
              ((jnp.int32(0),) * 5 + (jnp.bool_(True),)))
-    state = jax.lax.while_loop(cond, body, state)
+    if not enable_chunk:
+        state = jax.lax.while_loop(cond, inner_step, state)
+    else:
+        # nested segment loop — keep the chunk dispatch OUT of the hot
+        # decode body (same fix + rationale as generate_tokens above;
+        # measured in scratch/plainloop_probe.py)
+        def inner_cond(state):
+            return cond(state) & ~at_chunkable_img(state)
+
+        def segment(state):
+            state = jax.lax.while_loop(inner_cond, inner_step, state)
+            return jax.lax.cond(at_chunkable_img(state) & cond(state),
+                                chunk_step, lambda s: s, state)
+
+        state = jax.lax.while_loop(cond, segment, state)
     return ({"tokens": state[7], "hidden": state[8], "finished": state[9],
              "spec_rounds": state[12][0], "spec_accepted": state[12][1]},
             state[0], p_total + state[11])
