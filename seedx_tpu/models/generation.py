@@ -434,12 +434,6 @@ def generate_tokens(
                 out_hidden, out_finished, hist, n + e_count,
                 _spec_gate_update(sp, a, gen_cfg))
 
-    if spec_k and gen_cfg.spec_adaptive:
-        def inner_step(state):
-            return jax.lax.cond(state[12][5], spec_step, single_step, state)
-    else:
-        inner_step = spec_step if spec_k else single_step
-
     def cond(state):
         finished, n = state[5], state[11]
         return (n < t) & ~jnp.all(finished)
@@ -453,31 +447,79 @@ def generate_tokens(
              last_prompt_token.astype(jnp.int32), jnp.zeros((b,), bool), rng,
              out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0),
              ((jnp.int32(0),) * 5 + (jnp.bool_(True),)))
-    if not enable_chunk:
-        state = jax.lax.while_loop(cond, inner_step, state)
-    else:
-        # NESTED loop: the chunk dispatch must stay OUT of the hot decode
-        # body — a lax.cond(chunk_step | step) per token makes every plain
-        # step ~2.5-10x slower (measured CPU tiny-model AND 13B-on-chip,
-        # scratch/plainloop_probe.py) even when the chunk never fires.  The
-        # inner while runs pure decode/spec steps and exits at a chunkable
-        # <img> boundary; the outer segment loop then runs chunk_step ONCE.
-        # Progress: the inner loop can only exit with (a) cond false ->
-        # outer terminates, or (b) at_chunkable_img -> chunk_step advances
-        # n by n_img + 1.  An <img> WITHOUT room (n + n_img + 1 > t) keeps
-        # at_chunkable_img false, so the inner loop single-steps the forced
-        # ids exactly like the pre-chunk engine.
-        def inner_cond(state):
-            return cond(state) & ~at_chunkable_img(state)
-
-        def segment(state):
-            state = jax.lax.while_loop(inner_cond, inner_step, state)
-            return jax.lax.cond(at_chunkable_img(state) & cond(state),
-                                chunk_step, lambda s: s, state)
-
-        state = jax.lax.while_loop(cond, segment, state)
+    state = _run_decode_loop(state, cond, at_chunkable_img, single_step,
+                             spec_step if spec_k else None, chunk_step,
+                             enable_chunk, gen_cfg)
     return {"tokens": state[7], "hidden": state[8], "finished": state[9],
             "spec_rounds": state[12][0], "spec_accepted": state[12][1]}
+
+
+def _run_decode_loop(state, cond, at_chunkable_img, single_step, spec_step,
+                     chunk_step, enable_chunk, gen_cfg):
+    """Drive the decode while-loops with every mode dispatch OUT of the hot
+    body.  A ``lax.cond(branch_a | branch_b)`` in the per-token body makes
+    every step ~2.5-8x slower (CPU tiny-model differential AND 13B-on-chip:
+    plain decode read 9-19 tok/s with the per-step chunk cond vs 81.6 with
+    this structure; the per-step adaptive-gate cond capped the gated arm at
+    49 tok/s while spec-always hit 143 — scratch/plainloop_probe.py,
+    NOTES_r5.md).  Both dispatches are therefore SEGMENTED:
+
+      outer while (chunk segments)
+        inner while (gate segments; only when spec_adaptive)
+          leaf while: pure single_step / spec_step iterations, exiting
+          when the gate flips, a chunkable <img> arrives, or decode ends
+        chunk_step once per <img> boundary
+
+    The gate flips at most once per spec round / cooldown window and the
+    chunk fires once per image span, so each lax.cond here executes once
+    per SEGMENT, not once per token.  Progress: every leaf loop runs >= 1
+    step when entered (its cond is true at entry by construction), a
+    chunkable <img> always fires chunk_step (advancing n by n_img + 1),
+    and an <img> without room keeps at_chunkable_img false so the leaf
+    loops single-step the forced ids exactly like the pre-chunk engine.
+    """
+    spec_adaptive = spec_step is not None and gen_cfg.spec_adaptive
+
+    def gate_on(state):
+        return state[12][5]
+
+    def make_inner(loop_cond):
+        """Run decode/spec steps until ``loop_cond`` goes false."""
+        if spec_step is None:
+            return lambda state: jax.lax.while_loop(loop_cond, single_step,
+                                                    state)
+        if not spec_adaptive:
+            return lambda state: jax.lax.while_loop(loop_cond, spec_step,
+                                                    state)
+
+        def spec_run(state):
+            return jax.lax.while_loop(lambda s: loop_cond(s) & gate_on(s),
+                                      spec_step, state)
+
+        def plain_run(state):
+            return jax.lax.while_loop(lambda s: loop_cond(s) & ~gate_on(s),
+                                      single_step, state)
+
+        def mode_segment(state):
+            return jax.lax.cond(gate_on(state), spec_run, plain_run, state)
+
+        return lambda state: jax.lax.while_loop(loop_cond, mode_segment,
+                                                state)
+
+    if not enable_chunk:
+        return make_inner(cond)(state)
+
+    def inner_cond(state):
+        return cond(state) & ~at_chunkable_img(state)
+
+    inner = make_inner(inner_cond)
+
+    def segment(state):
+        state = inner(state)
+        return jax.lax.cond(at_chunkable_img(state) & cond(state),
+                            chunk_step, lambda s: s, state)
+
+    return jax.lax.while_loop(cond, segment, state)
 
 
 @functools.partial(
@@ -662,12 +704,6 @@ def generate_tokens_cached(
                 out_hidden, out_finished, hist, n + e_count,
                 _spec_gate_update(sp, a, gen_cfg))
 
-    if spec_k and gen_cfg.spec_adaptive:
-        def inner_step(state):
-            return jax.lax.cond(state[12][5], spec_step, single_step, state)
-    else:
-        inner_step = spec_step if spec_k else single_step
-
     def cond(state):
         finished, n = state[5], state[11]
         return (n < t) & ~jnp.all(finished)
@@ -682,21 +718,9 @@ def generate_tokens_cached(
              jnp.zeros((1,), bool), rng,
              out_tokens0, out_hidden0, out_finished0, hist0, jnp.int32(0),
              ((jnp.int32(0),) * 5 + (jnp.bool_(True),)))
-    if not enable_chunk:
-        state = jax.lax.while_loop(cond, inner_step, state)
-    else:
-        # nested segment loop — keep the chunk dispatch OUT of the hot
-        # decode body (same fix + rationale as generate_tokens above;
-        # measured in scratch/plainloop_probe.py)
-        def inner_cond(state):
-            return cond(state) & ~at_chunkable_img(state)
-
-        def segment(state):
-            state = jax.lax.while_loop(inner_cond, inner_step, state)
-            return jax.lax.cond(at_chunkable_img(state) & cond(state),
-                                chunk_step, lambda s: s, state)
-
-        state = jax.lax.while_loop(cond, segment, state)
+    state = _run_decode_loop(state, cond, at_chunkable_img, single_step,
+                             spec_step if spec_k else None, chunk_step,
+                             enable_chunk, gen_cfg)
     return ({"tokens": state[7], "hidden": state[8], "finished": state[9],
              "spec_rounds": state[12][0], "spec_accepted": state[12][1]},
             state[0], p_total + state[11])
