@@ -367,7 +367,8 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                        n_img: int = 64, denoise_steps: int = 30,
                        vit_tiles: int = 5, num_layers: int = 40,
                        solver: str = "euler", phase_times: bool = False,
-                       edit: bool = False, image_cfg: float = 1.5):
+                       edit: bool = False, image_cfg: float = 1.5,
+                       image_cfg_ab: bool = False):
     """ONE process, every model family resident in HBM at serving
     quantization — ViT-bigG int8 (1.9G) + 13B LLM int4/int8-KV (~7G) +
     SDXL UNet int8 (2.6G) + detok resampler + VAE fp32 — running a full
@@ -521,25 +522,33 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                 + jnp.sum(hidden[:, -1]).astype(jnp.float32))
 
     if edit:
-        @jax.jit
-        def image_out(p_res, p_unet, p_vae, span_feats, shift):
-            # condition VAE encode + 3-way InstructPix2Pix CFG (x3 batch
-            # per UNet eval) — the SEED-X-Edit serving path
-            ctx, pooled = resampler.apply({"params": p_res},
-                                          span_feats + shift)
-            moments = vae_enc.apply({"params": enc_params},
-                                    cond_image + shift.astype(jnp.float32))
-            image_latents = sample_moments(moments)   # .mode()
-            latents = prepare_latents(jax.random.PRNGKey(3), 1, scfg,
-                                      schedule, jnp.bfloat16)
-            lat = denoise_edit(unet, p_unet, schedule, latents,
-                               image_latents.astype(jnp.bfloat16),
-                               ctx.astype(jnp.bfloat16), ctx * 0,
-                               pooled.astype(jnp.bfloat16), pooled * 0,
-                               tids,
-                               image_guidance_scale=image_cfg)
-            img = vae.apply({"params": p_vae}, lat / vae_cfg.scaling_factor)
-            return jnp.sum(img.astype(jnp.float32))
+        def make_image_out(gi):
+            @jax.jit
+            def image_out(p_res, p_unet, p_vae, span_feats, shift):
+                # condition VAE encode + InstructPix2Pix CFG (x3 batch per
+                # UNet eval at gi!=1.0, x2 collapsed at gi==1.0) — the
+                # SEED-X-Edit serving path
+                ctx, pooled = resampler.apply({"params": p_res},
+                                              span_feats + shift)
+                moments = vae_enc.apply({"params": enc_params},
+                                        cond_image
+                                        + shift.astype(jnp.float32))
+                image_latents = sample_moments(moments)   # .mode()
+                latents = prepare_latents(jax.random.PRNGKey(3), 1, scfg,
+                                          schedule, jnp.bfloat16)
+                lat = denoise_edit(unet, p_unet, schedule, latents,
+                                   image_latents.astype(jnp.bfloat16),
+                                   ctx.astype(jnp.bfloat16), ctx * 0,
+                                   pooled.astype(jnp.bfloat16), pooled * 0,
+                                   tids,
+                                   image_guidance_scale=gi)
+                img = vae.apply({"params": p_vae},
+                                lat / vae_cfg.scaling_factor)
+                return jnp.sum(img.astype(jnp.float32))
+
+            return image_out
+
+        image_out = make_image_out(image_cfg)
     else:
         @jax.jit
         def image_out(p_res, p_unet, p_vae, span_feats, shift):
@@ -560,13 +569,35 @@ def bench_e2e_resident(prompt_len: int = 512, text_steps: int = 9,
                                    (1, n_img, rcfg.embedding_dim),
                                    jnp.bfloat16)
 
-    def turn(i):
-        v = vit_encode(vit_params, tiles, jnp.bfloat16(i))
-        l = llm_turn(llm_params, prompt,
-                     (v * 0).astype(jnp.int32))         # chained on ViT
-        out = image_out(res_params, unet_params, vae_params, span_feats,
-                        (l * 0 + i).astype(jnp.bfloat16))  # chained on LLM
-        return out
+    def make_turn(img_fn):
+        def turn(i):
+            v = vit_encode(vit_params, tiles, jnp.bfloat16(i))
+            l = llm_turn(llm_params, prompt,
+                         (v * 0).astype(jnp.int32))     # chained on ViT
+            out = img_fn(res_params, unet_params, vae_params, span_feats,
+                         (l * 0 + i).astype(jnp.bfloat16))  # chained on LLM
+            return out
+        return turn
+
+    turn = make_turn(image_out)
+
+    if edit and image_cfg_ab:
+        # Same-process INTERLEAVED A/B of the 3-way CFG vs the gi=1.0
+        # 2-branch collapse: separate bench processes land in different
+        # tunnel windows (±50% observed), so only alternating turns in ONE
+        # process isolates the CFG-batch effect.
+        turn_b = make_turn(make_image_out(1.0))
+        float(turn(0))
+        float(turn_b(0))
+        iters, dt_a, dt_b = 3, 0.0, 0.0
+        for i in range(1, iters + 1):
+            t0 = time.perf_counter()
+            float(turn(i))
+            dt_a += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(turn_b(i))
+            dt_b += time.perf_counter() - t0
+        return {"gi15_turn_s": dt_a / iters, "gi10_turn_s": dt_b / iters}
 
     float(turn(0))                     # compile + warm all three phases
     iters = 3
@@ -1289,6 +1320,10 @@ def main():
                         "1.5 = x3 CFG batch; exactly 1.0 collapses the "
                         "uncond branch algebraically -> x2 batch, the "
                         "opt-in fast edit path)")
+    p.add_argument("--image-cfg-ab", action="store_true",
+                   help="e2e_edit: time gi=1.5 (x3) and gi=1.0 (x2 "
+                        "collapse) turns INTERLEAVED in one process — the "
+                        "only window-noise-proof comparison of the two")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="wrap the metric in a jax.profiler trace written to "
                         "DIR (parse plugins/profile/*/vm.trace.json.gz — "
@@ -1398,6 +1433,26 @@ def _run_metric(args):
                         "host-closed per-phase timings)",
                 "vs_baseline": None,
                 "parts": {k: round(v, 3) for k, v in parts.items()},
+                "chip_gauge_tflops": round(chip_gauge(), 1),
+                "hbm_gauge_gbps": round(hbm_gauge(), 0),
+            }))
+            return
+        if args.image_cfg_ab:
+            ab = bench_e2e_resident(denoise_steps=steps, solver=args.solver,
+                                    edit=True, image_cfg_ab=True)
+            import gc
+            gc.collect()
+            print(json.dumps({
+                "metric": "e2e_edit_gi_ab_single_chip"
+                          + {"dpmpp_2m": "_dpmpp",
+                             "dpmpp_3m": "_dpmpp3"}.get(args.solver, ""),
+                "value": round(ab["gi10_turn_s"], 2),
+                "unit": f"seconds gi=1.0 2-way turn ({args.solver}-{steps};"
+                        " interleaved same-process A/B vs gi=1.5 3-way)",
+                "vs_baseline": round(ab["gi15_turn_s"]
+                                     / ab["gi10_turn_s"], 2),
+                "parts": {"gi15_turn_s": round(ab["gi15_turn_s"], 2),
+                          "gi10_turn_s": round(ab["gi10_turn_s"], 2)},
                 "chip_gauge_tflops": round(chip_gauge(), 1),
                 "hbm_gauge_gbps": round(hbm_gauge(), 0),
             }))
