@@ -336,6 +336,14 @@ def generate_tokens(
             out_hidden, prev_hidden[:, None].astype(hid_dtype), (0, n, 0))
         out_finished = jax.lax.dynamic_update_slice(
             out_finished, new_finished[:, None], (0, n))
+        if spec_k:
+            # gated-off fallback steps MUST extend the n-gram history too:
+            # holes here corrupt every later draft's key lookup, so
+            # re-probes after a cooldown always fail and the adaptive gate
+            # can never recover (measured: grounding adaptive 64.7 tok/s
+            # with holes vs the replayed policy's intended behavior of
+            # staying on — scratch/spec_gate_sweep.py divergence hunt)
+            hist = jax.lax.dynamic_update_slice(hist, token, (p + n,))
 
         pos = prev_pos + 1
         embeds = model.apply(variables, token[:, None], method="embed_ids")
@@ -616,6 +624,11 @@ def generate_tokens_cached(
             out_hidden, prev_hidden[:, None].astype(hid_dtype), (0, n, 0))
         out_finished = jax.lax.dynamic_update_slice(
             out_finished, new_finished[:, None], (0, n))
+        if spec_k:
+            # extend the n-gram history on gated-off steps too (same
+            # hole-corruption bug as generate_tokens — see that fix)
+            hist = jax.lax.dynamic_update_slice(hist, token,
+                                                (p_total + n,))
 
         pos = prev_pos + 1
         embeds = model.apply(variables, token[:, None], method="embed_ids")
