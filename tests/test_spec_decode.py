@@ -342,3 +342,29 @@ def test_script_forcing_spec_gates_off_on_adversarial(tiny_agent):
     assert int(out["spec_accepted"]) == 0
     # probe(4) + at most one re-probe window inside 40 steps
     assert int(out["spec_rounds"]) <= 8
+
+
+def test_script_forcing_gate_recovers_after_cooldown(tiny_agent):
+    """Regression (r5 history-holes fix): a novel script head gates
+    speculation off; the echo phrase's FIRST occurrence is then emitted by
+    plain fallback steps.  Those steps MUST extend the n-gram history —
+    with holes there, the post-cooldown re-probe drafts against garbage
+    keys and acceptance never recovers (chip: grounding adaptive stuck at
+    22 rounds/8 accepted vs the policy's intended 72/104)."""
+    model, variables = tiny_agent
+    tok = ByteFallbackTokenizer()
+    ids = [tok.bos_token_id] + tok.encode("write the report")
+    junk = tok.encode(" ".join(f"xk{i}" for i in range(8)))[:20]
+    phrase = tok.encode("metric alpha beta gamma delta rose sharply again. ")
+    script = list(junk) + list(phrase) * 3
+    cfg = GenerationConfig(max_new_tokens=len(script), num_img_gen_tokens=4,
+                           prompt_buckets=(128,), spec_k=4,
+                           spec_adaptive=True, spec_probe_rounds=4,
+                           spec_reprobe=12)
+    out = _run_script(model, variables, tok, ids, script, cfg)
+    assert list(np.asarray(out["tokens"])[0]) == list(script)
+    # the re-probe lands inside the echo region whose first occurrence was
+    # emitted by gated-off plain steps; with an intact history the gate
+    # re-enables and accepts richly (with holes, accepted stays ~0)
+    assert int(out["spec_accepted"]) >= len(phrase), (
+        int(out["spec_accepted"]), int(out["spec_rounds"]))
